@@ -1,0 +1,85 @@
+"""Dense matmul tests: trans/batch variants vs numpy, Pallas GEMM parity.
+
+Shape grid mirrors the reference cuBLAS test (tests/cublas_kernel_test.py:
+62-69): small sanity shapes, batched 3-D/4-D, transposed variants, and
+BERT-attention shapes (scaled down for interpreter-mode runtime).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse import dense
+from tpusparse.kernels.gemm import gemm_pallas
+
+
+def _np_matmul(a, b, transa=False, transb=False):
+    if transa:
+        a = np.swapaxes(a, -1, -2)
+    if transb:
+        b = np.swapaxes(b, -1, -2)
+    return a @ b
+
+
+CASES = [
+    # (a_shape, b_shape, transa, transb) — reference shape matrix
+    ((4, 2), (2, 3), False, False),
+    ((8, 64), (64, 8), False, False),  # BASELINE configs[0] gate
+    ((64, 8), (64, 8), True, False),
+    ((8, 64), (8, 64), False, True),
+    ((64, 8), (8, 64), True, True),
+    ((2, 4, 2), (2, 2, 3), False, False),
+    ((2, 4, 2), (2, 3, 2), False, True),
+    ((2, 2, 4, 2), (2, 2, 3, 2), False, True),
+    ((3, 4, 5), (5, 6), False, False),  # 3-D × 2-D (matmuls.py:43-47)
+    ((4, 5), (3, 5, 6), False, False),  # 2-D × 3-D (matmuls.py:48-52)
+    ((2, 2, 2, 3, 4), (2, 2, 2, 4, 5), False, False),  # ≥5-D path
+    ((4, 2, 64, 64), (4, 2, 64, 32), False, False),  # BERT attn (scaled)
+    ((2, 2, 64, 32), (2, 2, 64, 32), False, True),  # BERT QK^T (scaled)
+]
+
+
+@pytest.mark.parametrize("a_shape,b_shape,transa,transb", CASES)
+def test_matmul_vs_numpy(rng, a_shape, b_shape, transa, transb):
+    a = rng.random(a_shape, dtype=np.float32)
+    b = rng.random(b_shape, dtype=np.float32)
+    out = dense.matmul(jnp.asarray(a), jnp.asarray(b), transa=transa, transb=transb)
+    expected = _np_matmul(a, b, transa, transb)
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_vector_fallback(rng):
+    a = rng.random((8,), dtype=np.float32)
+    b = rng.random((8, 4), dtype=np.float32)
+    out = dense.matmul(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [(8, 64, 8), (16, 128, 32), (128, 128, 128), (100, 70, 50), (256, 384, 256)],
+)
+def test_gemm_pallas_vs_numpy(rng, m, k, n):
+    a = rng.random((m, k), dtype=np.float32)
+    b = rng.random((k, n), dtype=np.float32)
+    out = gemm_pallas(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-5, atol=1e-4)
+
+
+def test_gemm_pallas_multiple_k_blocks(rng):
+    a = rng.random((64, 300), dtype=np.float32)
+    b = rng.random((300, 64), dtype=np.float32)
+    out = gemm_pallas(jnp.asarray(a), jnp.asarray(b), block_k=128)
+    np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-5, atol=1e-4)
+
+
+def test_bmm_validates(rng):
+    a = jnp.ones((2, 3, 4))
+    with pytest.raises(ValueError):
+        dense.bmm(a, jnp.ones((4, 5)))
+    with pytest.raises(ValueError):
+        dense.bmm(a, jnp.ones((3, 4, 5)))
+    out = dense.bmm(a, jnp.ones((2, 4, 5)))
+    assert out.shape == (2, 3, 5)

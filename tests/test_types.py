@@ -1,0 +1,164 @@
+"""Sparse container tests: conversions round-trip vs scipy, reference ops.
+
+Oracle strategy follows the reference (golden comparison against a dense
+library, SURVEY.md §4) but uses scipy/numpy on CPU and seeds everything.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as ssp
+
+from tpusparse import (
+    COO,
+    CSR,
+    BSR,
+    coo_to_csr,
+    csr_to_coo,
+    csr_to_bsr,
+    bsr_to_csr,
+    random_csr,
+    random_coo,
+    spmm_reference,
+    sddmm_reference,
+)
+
+SHAPES = [(16, 16), (32, 64), (64, 32), (128, 96)]
+
+
+def _rand_dense(rng, shape, density=0.2):
+    mat = rng.random(shape, dtype=np.float32)
+    mask = rng.random(shape) < density
+    return (mat * mask).astype(np.float32)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_coo_roundtrip(rng, shape):
+    mat = _rand_dense(rng, shape)
+    coo = COO.from_dense(mat)
+    np.testing.assert_array_equal(np.asarray(coo.to_dense()), mat)
+    assert coo.nnz == int((mat != 0).sum())
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_csr_roundtrip_vs_scipy(rng, shape):
+    mat = _rand_dense(rng, shape)
+    csr = CSR.from_dense(mat)
+    sp = ssp.csr_matrix(mat)
+    np.testing.assert_array_equal(np.asarray(csr.indices), sp.indices)
+    np.testing.assert_array_equal(np.asarray(csr.indptr), sp.indptr)
+    np.testing.assert_allclose(np.asarray(csr.data), sp.data)
+    np.testing.assert_array_equal(np.asarray(csr.to_dense()), mat)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_coo_csr_conversions(rng, shape):
+    mat = _rand_dense(rng, shape)
+    coo = COO.from_dense(mat)
+    csr = coo_to_csr(coo)
+    np.testing.assert_array_equal(np.asarray(csr.to_dense()), mat)
+    back = csr_to_coo(csr)
+    np.testing.assert_array_equal(np.asarray(back.to_dense()), mat)
+
+
+def test_csr_transpose(rng):
+    mat = _rand_dense(rng, (48, 80))
+    csr = CSR.from_dense(mat)
+    np.testing.assert_allclose(np.asarray(csr.T.to_dense()), mat.T)
+    # jittable
+    t = jax.jit(lambda a: a.T)(csr)
+    np.testing.assert_allclose(np.asarray(t.to_dense()), mat.T)
+
+
+@pytest.mark.parametrize("blocksize", [(8, 8), (8, 16), (16, 8)])
+def test_bsr_roundtrip(rng, blocksize):
+    mat = _rand_dense(rng, (40, 72), density=0.05)
+    bsr = BSR.from_dense(mat, blocksize)
+    np.testing.assert_array_equal(np.asarray(bsr.to_dense()), mat)
+    csr = bsr_to_csr(bsr)
+    np.testing.assert_array_equal(np.asarray(csr.to_dense()), mat)
+    bsr2 = csr_to_bsr(CSR.from_dense(mat), blocksize)
+    np.testing.assert_array_equal(np.asarray(bsr2.to_dense()), mat)
+
+
+def test_random_fixtures_exact_nnz():
+    csr = random_csr(0, (64, 64), 0.1)
+    assert csr.nnz == int(round(0.1 * 64 * 64))
+    coo = random_coo(1, (32, 48), 0.25)
+    assert coo.nnz == int(round(0.25 * 32 * 48))
+    # deterministic per key
+    a = random_csr(7, (32, 32), 0.2)
+    b = random_csr(7, (32, 32), 0.2)
+    np.testing.assert_array_equal(np.asarray(a.indices), np.asarray(b.indices))
+    np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data))
+
+
+@pytest.mark.parametrize(
+    "shape_a,ncols",
+    [((64, 64), 32), ((64, 128), 48), ((128, 64), 256), ((512, 1024), 256)],
+)
+def test_spmm_reference_vs_scipy(rng, shape_a, ncols):
+    # Mirrors the reference cuSPARSE test grid at ~10% density
+    # (tests/cusparse_kernel_test.py:32-46) with a scipy oracle.
+    mat = _rand_dense(rng, shape_a, density=0.1)
+    b = rng.random((shape_a[1], ncols), dtype=np.float32)
+    csr = CSR.from_dense(mat)
+    out = spmm_reference(csr, jnp.asarray(b))
+    expected = ssp.csr_matrix(mat) @ b
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max", "min", "mul"])
+def test_spmm_reference_reducers(rng, reduce):
+    # Reduction-mode parity with the reference Reducer library
+    # (src/naive_reducer.cuh:23-46).
+    mat = _rand_dense(rng, (32, 32), density=0.3)
+    b = rng.random((32, 16), dtype=np.float32)
+    csr = CSR.from_dense(mat)
+    out = np.asarray(spmm_reference(csr, jnp.asarray(b), reduce=reduce))
+
+    contrib = mat[:, :, None] * b[None, :, :]  # (m, k, n)
+    mask = (mat != 0)[:, :, None]
+    if reduce == "sum":
+        expected = np.where(mask, contrib, 0).sum(axis=1)
+    elif reduce == "mean":
+        cnt = np.maximum(mask.sum(axis=1), 1)
+        expected = np.where(mask, contrib, 0).sum(axis=1) / cnt
+    elif reduce == "max":
+        expected = np.where(mask, contrib, -np.inf).max(axis=1)
+    elif reduce == "min":
+        expected = np.where(mask, contrib, np.inf).min(axis=1)
+    else:
+        expected = np.where(mask, contrib, 1.0).prod(axis=1)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_sddmm_reference(rng):
+    m, k, n = 48, 32, 40
+    pat = _rand_dense(rng, (m, n), density=0.15)
+    x = rng.random((m, k), dtype=np.float32)
+    y = rng.random((k, n), dtype=np.float32)
+    csr = CSR.from_dense(pat)
+    vals = np.asarray(sddmm_reference(csr, jnp.asarray(x), jnp.asarray(y)))
+    dense = x @ y
+    rows, cols = np.asarray(csr.row_ids()), np.asarray(csr.indices)
+    np.testing.assert_allclose(vals, dense[rows, cols], rtol=1e-5, atol=1e-5)
+
+
+def test_pytree_jit_stability():
+    csr = random_csr(0, (32, 32), 0.1)
+    calls = 0
+
+    @jax.jit
+    def f(a, b):
+        nonlocal calls
+        calls += 1
+        return spmm_reference(a, b)
+
+    b = jnp.ones((32, 8))
+    f(csr, b)
+    # same pattern, new values: no retrace
+    csr2 = CSR(csr.data * 2, csr.indices, csr.indptr, csr.shape)
+    f(csr2, b)
+    assert calls == 1

@@ -1,0 +1,77 @@
+"""tpusparse — a TPU-native sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+smoorjani/matrix-multiplication (a PyTorch CUDA-extension SpMM library):
+sparse storage (COO/CSR/BSR), dense GEMM with transpose/batch variants,
+naive and tiled (inspector-executor) SpMM, SDDMM, autograd via
+``jax.custom_vjp``, FC-layer / MNIST / BERT-attention integration, and
+multi-host scaling via ``jax.sharding`` + ``shard_map``.
+
+Layer map (TPU-native analog of reference layers L1-L5):
+  kernels/   Pallas TPU kernels              (ref: src/*.cu)
+  plan.py    inspector plans + roofline      (ref: custom_mm.cpp plan registries)
+  ops.py     custom_vjp public op surface    (ref: matmuls.py InplaceFunctions)
+  nn/        neural-net modules              (ref: benchmarks/*_fc_layer.py)
+  models/    MLP / BERT-attention models     (ref: benchmarks/mnist_benchmark.py)
+  parallel/  mesh, shard_map SpMM, halo      (new; reference is single-GPU)
+"""
+
+from tpusparse.types import (
+    COO,
+    CSR,
+    BSR,
+    coo_to_csr,
+    csr_to_coo,
+    csr_to_bsr,
+    bsr_to_csr,
+    random_csr,
+    random_coo,
+    spmm_reference,
+    sddmm_reference,
+)
+from tpusparse import dense
+from tpusparse.dense import matmul, bmm
+from tpusparse import ops
+from tpusparse.ops import (
+    mm,
+    transa_mm,
+    transb_mm,
+    transab_mm,
+    spmm,
+    naive_spmm,
+    tiled_spmm,
+    sddmm,
+)
+from tpusparse.plan import Plan, build_plan, plan_cache_info, clear_plan_cache
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "COO",
+    "CSR",
+    "BSR",
+    "coo_to_csr",
+    "csr_to_coo",
+    "csr_to_bsr",
+    "bsr_to_csr",
+    "random_csr",
+    "random_coo",
+    "spmm_reference",
+    "sddmm_reference",
+    "dense",
+    "matmul",
+    "bmm",
+    "ops",
+    "mm",
+    "transa_mm",
+    "transb_mm",
+    "transab_mm",
+    "spmm",
+    "naive_spmm",
+    "tiled_spmm",
+    "sddmm",
+    "Plan",
+    "build_plan",
+    "plan_cache_info",
+    "clear_plan_cache",
+]

@@ -1,0 +1,89 @@
+"""Dense matmul surface: trans/batch variants with shape-based routing.
+
+TPU-native replacement for the reference's dense dispatcher
+(`custom_matmul`, matmuls.py:13-72) and the cuBLAS wrappers it drives
+(src/baseline_mm.cu:52-155). Differences by design:
+
+  * Transposes are expressed through ``lax.dot_general`` dimension numbers —
+    no operand copies and no row/col-major swap (reference
+    baseline_mm.cu:61-92 does the Cᵀ=BᵀAᵀ trick; XLA handles layout).
+  * Arbitrary leading batch dims are handled natively by one traced einsum —
+    the reference reshapes 3-D to 2-D (matmuls.py:43-52) and falls back to a
+    Python loop + stack for ≥5-D (matmuls.py:61-63).
+  * 2-D core can route through the Pallas GEMM kernel
+    (tpusparse/kernels/gemm.py) when enabled in config.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpusparse.kernels.gemm import gemm_pallas
+from tpusparse.utils.config import get_config
+
+_PRECISION = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}
+
+
+def _precision():
+    return _PRECISION[get_config().precision]
+
+
+def matmul(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    transa: bool = False,
+    transb: bool = False,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """General (batched) matmul with transpose flags on the last two dims.
+
+    Covers the reference surface: cublas_mmul / cublas_bmm for dims 2/3/4
+    (custom_mm.cpp:104-164) plus the ≥5-D loop path (matmuls.py:61-63),
+    and the 1-D matrix-vector fallback (matmuls.py:39-41).
+    """
+    if a.ndim == 1 or b.ndim == 1:
+        # Reference falls back to torch matmul for vectors (matmuls.py:39-41).
+        return jnp.matmul(a, b, precision=_precision())
+
+    if transa:
+        a = jnp.swapaxes(a, -1, -2)
+    if transb:
+        b = jnp.swapaxes(b, -1, -2)
+
+    if a.ndim == 2 and b.ndim == 2:
+        cfg = get_config()
+        if use_pallas or (use_pallas is None and cfg.use_pallas_gemm):
+            return gemm_pallas(a, b)
+        return jnp.matmul(a, b, precision=_precision())
+
+    # Mixed-rank: broadcast like jnp.matmul. The reference flattens 3-D×2-D
+    # to one big 2-D GEMM (matmuls.py:43-47) — XLA does the same fusion from
+    # this expression without explicit reshapes.
+    return jnp.matmul(a, b, precision=_precision())
+
+
+def bmm(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    transa: bool = False,
+    transb: bool = False,
+) -> jnp.ndarray:
+    """Strictly batched matmul (both operands ≥3-D, equal batch shape).
+
+    Analog of `cublas_bmm_wrapper` (baseline_mm.cu:105-155). Any number of
+    leading batch dims is supported (reference folds 4-D batch dims,
+    custom_mm.cpp:146-156, and loops for ≥5-D, matmuls.py:61-63).
+    """
+    if a.ndim < 3 or b.ndim < 3:
+        raise ValueError(f"bmm expects ≥3-D operands, got {a.shape}, {b.shape}")
+    if a.shape[:-2] != b.shape[:-2]:
+        raise ValueError(
+            f"bmm batch dims must match: {a.shape[:-2]} vs {b.shape[:-2]}"
+        )
+    return matmul(a, b, transa=transa, transb=transb)

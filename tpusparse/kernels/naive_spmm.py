@@ -1,0 +1,165 @@
+"""Naive gather-based SpMM — Pallas TPU kernel, the always-correct fallback.
+
+TPU-native analog of the reference's warp-per-row CSR kernel
+(`spmm_kernel`, src/naive_sparse_mm.cu:25-101) and its reduction functor
+library (src/naive_reducer.cuh:23-102: SUM/MEAN/MUL/MIN/MAX).
+
+Redesign: instead of warps shuffling (col, val) pairs, the pattern is
+ELL-packed on the host (fixed width = max row nnz) and both index and
+value streams ride scalar prefetch into SMEM; each grid cell owns a
+(row_tile, n_tile) output block and streams per-row dynamic slices of the
+VMEM-resident B tile on the VPU. The tiled plan kernel
+(tpusparse/kernels/tiled_spmm.py) is the MXU performance path; this one
+exists for parity, very sparse/skewed patterns, and reduction modes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusparse.types import CSR
+from tpusparse.utils.config import interpret_mode, round_up
+
+REDUCTIONS = ("sum", "mean", "max", "min", "mul")
+
+_ROW_TILE = 8  # rows per grid cell (fp32 sublane count)
+
+
+def ell_pack(a: CSR, width: Optional[int] = None):
+    """Host-side ELL packing of a CSR matrix (pattern-dependent width).
+
+    Returns (col_idx (m, L) int32, vals (m, L), nnz_per_row (m,) int32).
+    Padded slots point at column 0 with value 0.
+    """
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices)
+    m = a.shape[0]
+    per_row = np.diff(indptr)
+    L = int(width or max(per_row.max(initial=0), 1))
+    if per_row.max(initial=0) > L:
+        raise ValueError(f"ell width {L} < max row nnz {per_row.max()}")
+    rows = np.repeat(np.arange(m), per_row)
+    pos = np.arange(indices.shape[0]) - np.repeat(indptr[:-1], per_row)
+    col_idx = np.zeros((m, L), dtype=np.int32)
+    col_idx[rows, pos] = indices
+    valpos = (rows * L + pos).astype(np.int32)
+    vals = jnp.zeros((m * L,), dtype=a.dtype).at[valpos].set(a.data).reshape(m, L)
+    return jnp.asarray(col_idx), vals, jnp.asarray(per_row.astype(np.int32))
+
+
+def _identity(reduce: str):
+    return {
+        "sum": 0.0,
+        "mean": 0.0,
+        "max": -jnp.inf,
+        "min": jnp.inf,
+        "mul": 1.0,
+    }[reduce]
+
+
+def _naive_kernel(
+    idx_ref,
+    vals_ref,
+    nnzrow_ref,
+    b_ref,
+    o_ref,
+    *,
+    ell_width: int,
+    row_tile: int,
+    reduce: str,
+):
+    i = pl.program_id(0)
+    tn = o_ref.shape[1]
+
+    for r in range(row_tile):  # static unroll over the row tile
+        row = i * row_tile + r
+        count = nnzrow_ref[row]
+
+        def body(l, acc):
+            col = idx_ref[row * ell_width + l]
+            v = vals_ref[row * ell_width + l]
+            contrib = v * b_ref[pl.ds(col, 1), :]
+            if reduce in ("sum", "mean"):
+                return acc + contrib
+            if reduce == "max":
+                return jnp.maximum(acc, contrib)
+            if reduce == "min":
+                return jnp.minimum(acc, contrib)
+            return acc * contrib  # mul
+
+        init = jnp.full((1, tn), _identity(reduce), dtype=jnp.float32)
+        acc = jax.lax.fori_loop(0, count, body, init)
+        if reduce == "mean":
+            acc = acc / jnp.maximum(count, 1).astype(jnp.float32)
+        o_ref[pl.ds(r, 1), :] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "reduce", "block_n"))
+def naive_spmm_pallas(
+    ell: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    shape: Tuple[int, int],
+    b: jnp.ndarray,
+    *,
+    reduce: str = "sum",
+    block_n: int = 512,
+) -> jnp.ndarray:
+    """C[i,:] = reduce_{j in row i} A[i,j] * B[j,:] for ELL-packed A."""
+    if reduce not in REDUCTIONS:
+        raise ValueError(f"unknown reduce {reduce!r}; options {REDUCTIONS}")
+    col_idx, vals, nnz_per_row = ell
+    m, k = shape
+    if b.ndim != 2 or b.shape[0] != k:
+        raise ValueError(f"b shape {b.shape} incompatible with A {shape}")
+    n = b.shape[1]
+    L = int(col_idx.shape[1])
+
+    bn = min(block_n, round_up(n, 128))
+    mp = round_up(m, _ROW_TILE)
+    np_ = round_up(n, bn)
+    kp = round_up(k, 8)
+    if (kp, np_) != b.shape:
+        b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+    if mp != m:
+        col_idx = jnp.pad(col_idx, ((0, mp - m), (0, 0)))
+        vals = jnp.pad(vals, ((0, mp - m), (0, 0)))
+        nnz_per_row = jnp.pad(nnz_per_row, (0, mp - m))
+
+    grid = (mp // _ROW_TILE, np_ // bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (kp, bn), lambda i, j, *refs: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROW_TILE, bn), lambda i, j, *refs: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _naive_kernel, ell_width=L, row_tile=_ROW_TILE, reduce=reduce
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret_mode(),
+    )(
+        col_idx.reshape(-1),
+        vals.reshape(-1).astype(jnp.float32),
+        nnz_per_row.astype(jnp.int32),
+        b.astype(jnp.float32),
+    )
+    return out[:m, :n]

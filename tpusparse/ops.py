@@ -1,0 +1,331 @@
+"""Public op surface with autograd — TPU-native analog of the reference's
+`torch.autograd.InplaceFunction` layer (matmuls.py:81-176, :238-327).
+
+Every op is a `jax.custom_vjp` whose backward passes run through this
+framework's own kernels, mirroring the reference architecture:
+
+  dense mm family   dA = dC·Bᵀ, dB = Aᵀ·dC via our matmul      (matmuls.py:91-104)
+  spmm (tiled)      dA = SDDMM(dC, B) restricted to A's pattern (Pallas kernel;
+                    the reference instead densifies dC and runs a full SpMM,
+                    matmuls.py:245-256 — BASELINE.json upgrades this to SDDMM)
+                    dB = Aᵀ·dC via the transpose plan (Pallas tiled SpMM)
+  naive spmm        same algebra on the XLA gather/segment path
+
+Transposed dense variants re-derive the correct gradient algebra rather
+than copying the reference's flag-reapplication quirk (matmuls.py:119-126;
+see SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse import dense
+from tpusparse.kernels.naive_spmm import ell_pack, naive_spmm_pallas
+from tpusparse.kernels.sddmm import sddmm_pallas
+from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+from tpusparse.plan import Plan, build_plan_pair, _fingerprint
+from tpusparse.types import CSR, sddmm_reference, spmm_reference
+
+
+def _zeros_tangent(tree):
+    """Zero cotangents for non-differentiable (integer) pytree args."""
+    return jax.tree_util.tree_map(
+        lambda x: (
+            jnp.zeros_like(x)
+            if jnp.issubdtype(x.dtype, jnp.inexact)
+            else np.zeros(x.shape, dtype=jax.dtypes.float0)
+        ),
+        tree,
+    )
+
+
+# ----------------------------------------------------------------------------
+# Dense ops: mm / transa_mm / transb_mm / transab_mm
+# (analog of cublasMM / cublasTransaMM / cublasTransbMM / cublasTransabMM)
+# ----------------------------------------------------------------------------
+
+
+def _make_dense_op(transa: bool, transb: bool):
+    @jax.custom_vjp
+    def op(a, b):
+        return dense.matmul(a, b, transa=transa, transb=transb)
+
+    def fwd(a, b):
+        return op(a, b), (a, b)
+
+    def bwd(res, g):
+        a, b = res
+        # Correct gradient algebra for C = op_a(A) @ op_b(B):
+        if not transa:
+            da = dense.matmul(g, b, transb=not transb)
+        elif not transb:
+            da = dense.matmul(b, g, transb=True)
+        else:
+            da = dense.matmul(b, g, transa=True, transb=True)
+        if not transb:
+            db = dense.matmul(a, g, transa=not transa)
+        elif not transa:
+            db = dense.matmul(g, a, transa=True)
+        else:
+            db = dense.matmul(g, a, transa=True, transb=True)
+        return da, db
+
+    op.defvjp(fwd, bwd)
+
+    def checked(a, b):
+        if a.ndim != b.ndim or a.ndim < 2:
+            raise ValueError(
+                f"dense ops need same-rank ≥2-D operands, got {a.shape} x "
+                f"{b.shape}; use tpusparse.dense.matmul for mixed ranks"
+            )
+        return op(a, b)
+
+    return checked
+
+
+mm = _make_dense_op(False, False)
+transa_mm = _make_dense_op(True, False)
+transb_mm = _make_dense_op(False, True)
+transab_mm = _make_dense_op(True, True)
+
+
+# ----------------------------------------------------------------------------
+# Tiled SpMM with autograd (the performance path)
+# ----------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _tiled_spmm(plan: Plan, plan_t: Plan, t_perm, data, b):
+    block_vals = plan.pack_values(data)
+    return tiled_spmm_pallas(plan, block_vals, b)
+
+
+def _tiled_spmm_fwd(plan, plan_t, t_perm, data, b):
+    return _tiled_spmm(plan, plan_t, t_perm, data, b), (
+        plan,
+        plan_t,
+        t_perm,
+        data,
+        b,
+    )
+
+
+def _tiled_spmm_bwd(res, g):
+    plan, plan_t, t_perm, data, b = res
+    # dA restricted to A's pattern: SDDMM Pallas kernel on the block plan.
+    d_blocks = sddmm_pallas(plan, g, b)
+    d_data = plan.unpack_values(d_blocks)
+    # dB = Aᵀ · dC through the transpose plan (another tiled SpMM).
+    bv_t = plan_t.pack_values(data[t_perm])
+    db = tiled_spmm_pallas(plan_t, bv_t, g)
+    return (
+        _zeros_tangent(plan),
+        _zeros_tangent(plan_t),
+        np.zeros(t_perm.shape, dtype=jax.dtypes.float0),
+        d_data,
+        db.astype(b.dtype),
+    )
+
+
+_tiled_spmm.defvjp(_tiled_spmm_fwd, _tiled_spmm_bwd)
+
+
+def tiled_spmm(
+    a: CSR,
+    b: jnp.ndarray,
+    blocksize: Optional[Tuple[int, int]] = None,
+    plans=None,
+) -> jnp.ndarray:
+    """Inspector-executor SpMM: C = A @ B (A sparse CSR, B dense 2-D/3-D).
+
+    Plans are built once per pattern (host-side) and cached by fingerprint —
+    the analog of tiledspmm_inspect_* + tiledspmm_mm keyed by layer name
+    (custom_mm.cpp:283-357). Pass `plans=build_plan_pair(...)` explicitly
+    when calling under jit with traced values.
+    """
+    plan, plan_t, t_perm = plans or build_plan_pair(a, blocksize)
+    if b.ndim == 2:
+        return _tiled_spmm(plan, plan_t, t_perm, a.data, b)
+    if b.ndim == 3:
+        # Shared pattern across batch: map over the dense operand (the
+        # reference loops in Python and stacks, matmuls.py:289-293).
+        return jax.lax.map(
+            lambda bb: _tiled_spmm(plan, plan_t, t_perm, a.data, bb), b
+        )
+    raise ValueError(f"tiled_spmm supports 2-D/3-D b, got {b.shape}")
+
+
+# ----------------------------------------------------------------------------
+# Naive SpMM with autograd (XLA-gather backward; supports reducers fwd-only)
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _naive_spmm(shape, csr_arrays, b):
+    data, indices, indptr = csr_arrays
+    a = CSR(data=data, indices=indices, indptr=indptr, shape=shape)
+    ell = ell_pack_traced(a)
+    return naive_spmm_pallas(ell, shape, b, reduce="sum")
+
+
+def _naive_spmm_fwd(shape, csr_arrays, b):
+    return _naive_spmm(shape, csr_arrays, b), (csr_arrays, b)
+
+
+def _naive_spmm_bwd(shape, res, g):
+    (data, indices, indptr), b = res
+    a = CSR(data=data, indices=indices, indptr=indptr, shape=shape)
+    rows = a.row_ids()
+    # dA[t] = g[row_t, :] · b[col_t, :]  (pattern-restricted, like SDDMM)
+    d_data = jnp.einsum(
+        "nc,nc->n", g[rows], b[indices], precision=jax.lax.Precision.HIGHEST
+    ).astype(data.dtype)
+    # dB = Aᵀ·dC on the gather/scatter path
+    db = jnp.zeros_like(b).at[indices].add(data[:, None] * g[rows])
+    i0 = np.zeros(indices.shape, dtype=jax.dtypes.float0)
+    p0 = np.zeros(indptr.shape, dtype=jax.dtypes.float0)
+    return (d_data, i0, p0), db
+
+
+_naive_spmm.defvjp(_naive_spmm_fwd, _naive_spmm_bwd)
+
+
+def ell_pack_traced(a: CSR):
+    """Jit-compatible ELL packing with width = static max row nnz.
+
+    The width must be a trace-time constant; it is derived from the host
+    ELL cache when indices are concrete, else conservatively from nnz.
+    """
+    key = _ell_cache_key(a)
+    if key is not None and key in _ELL_CACHE:
+        width = _ELL_CACHE[key]
+    elif key is not None:
+        width = int(np.diff(np.asarray(a.indptr)).max(initial=1))
+        _ELL_CACHE[key] = width
+    else:  # traced indptr: worst case
+        width = min(a.nnz, a.shape[1]) or 1
+    m = a.shape[0]
+    rows = a.row_ids()
+    pos = jnp.arange(a.nnz, dtype=jnp.int32) - a.indptr[rows]
+    flat = rows.astype(jnp.int32) * width + pos
+    col_idx = (
+        jnp.zeros((m * width,), jnp.int32).at[flat].set(a.indices).reshape(m, width)
+    )
+    vals = (
+        jnp.zeros((m * width,), a.dtype).at[flat].set(a.data).reshape(m, width)
+    )
+    nnz_per_row = jnp.diff(a.indptr).astype(jnp.int32)
+    return col_idx, vals, nnz_per_row
+
+
+_ELL_CACHE = {}
+
+
+def _ell_cache_key(a: CSR):
+    try:
+        indptr = np.asarray(a.indptr)
+        indices = np.asarray(a.indices)
+    except Exception:  # traced values
+        return None
+    return _fingerprint(a.shape, (1, 1), indptr, indices)
+
+
+def naive_spmm(a: CSR, b: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
+    """Naive gather SpMM (Pallas): analog of naiveSpMM.apply (matmuls.py:305).
+
+    reduce='sum' is differentiable; other reducers (mean/max/min/mul, the
+    reference Reducer modes) are forward-only.
+    """
+    if b.ndim == 3:
+        return jax.lax.map(lambda bb: naive_spmm(a, bb, reduce), b)
+    if reduce == "sum":
+        return _naive_spmm(a.shape, (a.data, a.indices, a.indptr), b)
+    return naive_spmm_pallas(ell_pack_traced(a), a.shape, b, reduce=reduce)
+
+
+# ----------------------------------------------------------------------------
+# SDDMM public op (new capability; reference lacks it — see module docstring)
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sddmm(shape, pattern_arrays, x, y):
+    indices, indptr = pattern_arrays
+    pat = CSR(jnp.zeros(indices.shape, x.dtype), indices, indptr, shape)
+    return sddmm_reference(pat, x, y)
+
+
+def _sddmm_fwd(shape, pattern_arrays, x, y):
+    return _sddmm(shape, pattern_arrays, x, y), (pattern_arrays, x, y)
+
+
+def _sddmm_bwd(shape, res, g):
+    (indices, indptr), x, y = res
+    s = CSR(g, indices, indptr, shape)  # sparse cotangent with A's pattern
+    dx = spmm_reference(s, jnp.swapaxes(y, 0, 1))
+    dy = jnp.swapaxes(spmm_reference(s.T, x), 0, 1)
+    i0 = np.zeros(indices.shape, dtype=jax.dtypes.float0)
+    p0 = np.zeros(indptr.shape, dtype=jax.dtypes.float0)
+    return (i0, p0), dx.astype(x.dtype), dy.astype(y.dtype)
+
+
+_sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
+def sddmm(
+    pattern: CSR, x: jnp.ndarray, y: jnp.ndarray, use_pallas: bool = False
+) -> jnp.ndarray:
+    """Pattern-restricted (X @ Y): returns per-nonzero values in CSR order.
+
+    use_pallas=True routes through the block SDDMM kernel via a plan
+    (forward only); the default XLA gather path is differentiable.
+    """
+    if use_pallas:
+        plan, _, _ = build_plan_pair(pattern)
+        blocks = sddmm_pallas(plan, x, jnp.swapaxes(y, 0, 1))
+        return plan.unpack_values(blocks)
+    return _sddmm(pattern.shape, (pattern.indices, pattern.indptr), x, y)
+
+
+# ----------------------------------------------------------------------------
+# Dispatching SpMM (analog of cusparseMM.apply / sparse_matmul routing)
+# ----------------------------------------------------------------------------
+
+
+def spmm(
+    a: CSR,
+    b: jnp.ndarray,
+    method: str = "auto",
+    reduce: str = "sum",
+    blocksize: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Sparse × dense matmul with method dispatch.
+
+    methods: 'tiled' (inspector-executor Pallas, the perf path), 'naive'
+    (gather Pallas), 'reference' (pure-XLA segment ops), 'auto' (tiled for
+    sum, reference for other reducers). Batched 3-D b maps over the shared
+    pattern. Analog of sparse_matmul routing (matmuls.py:189-235) minus its
+    quirks (the reference routes the 3-D cusparse path through the naive
+    kernel, matmuls.py:224).
+    """
+    if reduce != "sum" and method in ("auto", "reference"):
+        if b.ndim == 3:
+            return jax.lax.map(lambda bb: spmm_reference(a, bb, reduce=reduce), b)
+        return spmm_reference(a, b, reduce=reduce)
+    if method == "auto":
+        method = "tiled"
+    if method == "tiled":
+        return tiled_spmm(a, b, blocksize=blocksize)
+    if method == "naive":
+        return naive_spmm(a, b, reduce=reduce)
+    if method == "reference":
+        if b.ndim == 3:
+            return jax.lax.map(lambda bb: spmm_reference(a, bb), b)
+        return spmm_reference(a, b)
+    raise ValueError(f"unknown spmm method {method!r}")

@@ -1,0 +1,318 @@
+"""Inspector-executor plans for tiled SpMM — the TPU-native analog of the
+reference's TiledSpMM inspector (src/sparse_mm.cu:137-368) and its
+layer-keyed plan registries (src/custom_mm.cpp:283-357, :219-281).
+
+Reference idea (K8): a one-time CPU pass over the CSR pattern builds a
+GPU-friendly sliced-ELL plan (footprint compression + per-warp ELL pad
+widths + interleaved index/value arrays) that the executor kernel then
+reuses every multiply.
+
+TPU-native redesign (NOT a translation):
+  * The MXU wants dense (8,128)-multiple blocks, so the plan *densifies*
+    the pattern into BSR blocks of (block_m, block_k) and ELL-pads the
+    per-row-block block lists to a fixed width L — the direct analog of
+    `elldispl/ellindex/ellvalue` (sparse_mm.cu:193-276) but at MXU-block
+    granularity instead of per-element.
+  * Padded ELL slots repeat the row-block's last valid block index, so the
+    Pallas pipeline re-fetches the same B tile (a no-op DMA) and the kernel
+    skips the FLOPs via `@pl.when(l < nslots[i])` — variable nnz per row
+    inside a fixed grid, without wasted bandwidth.
+  * Plans are keyed by a pattern fingerprint in a process-global cache —
+    replacing the reference's mutable global handle arrays + string-keyed
+    `layer_lookup` map (custom_mm.cpp:81-83) with content addressing.
+  * Values are NOT baked into the plan: a jittable scatter maps CSR values
+    into block form each call, so training steps (values change, pattern
+    fixed) never rebuild or retrace.
+  * The inspector runs in C++ (csrc/inspector.cpp, OpenMP) when the native
+    extension is built, with a numpy fallback — mirroring the reference's
+    host-side OpenMP inspector.
+
+The PRINT-gated stats report of the reference inspector (sparse_mm.cu:
+139-161, 303-328) becomes `Plan.report()`: density, padding overhead, VMEM
+footprint, and a projected roofline (bytes, FLOPs, speed-of-light %).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse.types import CSR, Shape2
+from tpusparse.utils.config import get_config, cdiv
+
+# Per-chip speed-of-light constants for roofline projection (TPU v5e).
+# Overridable for other generations via set_roofline_constants.
+_ROOFLINE = {
+    "peak_bf16_flops": 197e12,  # MXU bf16 FLOP/s
+    "peak_fp32_flops": 197e12 / 6,  # fp32 "highest" = 6-pass bf16
+    "hbm_bandwidth": 819e9,  # bytes/s
+}
+
+
+def set_roofline_constants(**kwargs):
+    _ROOFLINE.update(kwargs)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Plan:
+    """A compiled sparsity-pattern plan for one (pattern, blocksize)."""
+
+    block_cols: jnp.ndarray  # (nbr, L) int32: col-block id per ELL slot
+    nslots: jnp.ndarray  # (nbr,) int32: valid slots per row-block
+    scatter_idx: jnp.ndarray  # (nnz,) int32: csr nnz -> flat block_vals idx
+    shape: Shape2  # logical (m, k) of the sparse operand
+    blocksize: Shape2  # (block_m, block_k)
+    ell_width: int  # L
+    nnz: int
+    nblocks: int  # valid (non-pad) blocks
+    stats: Tuple[Tuple[str, float], ...] = ()
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        children = (self.block_cols, self.nslots, self.scatter_idx)
+        aux = (
+            self.shape,
+            self.blocksize,
+            self.ell_width,
+            self.nnz,
+            self.nblocks,
+            self.stats,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        block_cols, nslots, scatter_idx = children
+        shape, blocksize, ell_width, nnz, nblocks, stats = aux
+        return cls(
+            block_cols=block_cols,
+            nslots=nslots,
+            scatter_idx=scatter_idx,
+            shape=shape,
+            blocksize=blocksize,
+            ell_width=ell_width,
+            nnz=nnz,
+            nblocks=nblocks,
+            stats=stats,
+        )
+
+    # -- derived static geometry --------------------------------------------
+    @property
+    def num_row_blocks(self) -> int:
+        return cdiv(self.shape[0], self.blocksize[0])
+
+    @property
+    def num_col_blocks(self) -> int:
+        return cdiv(self.shape[1], self.blocksize[1])
+
+    @property
+    def num_slots(self) -> int:
+        return self.num_row_blocks * self.ell_width
+
+    # -- value packing (jittable; runs every call, pattern-free) ------------
+    def pack_values(self, data: jnp.ndarray) -> jnp.ndarray:
+        """Scatter CSR value vector into ELL block form (num_slots, bm, bk)."""
+        bm, bk = self.blocksize
+        flat = jnp.zeros((self.num_slots * bm * bk,), dtype=data.dtype)
+        flat = flat.at[self.scatter_idx].set(data)
+        return flat.reshape(self.num_slots, bm, bk)
+
+    def unpack_values(self, block_vals: jnp.ndarray) -> jnp.ndarray:
+        """Gather per-nonzero values back out of block form (for dA grads)."""
+        return block_vals.reshape(-1)[self.scatter_idx]
+
+    # -- reporting -----------------------------------------------------------
+    def report(self, n_cols: int = 256, dtype_bytes: int = 4) -> Dict[str, float]:
+        """Inspector stats + projected roofline for C = A @ B with B (k, n).
+
+        TPU analog of the reference's PRINT-mode occupancy/padding report
+        (sparse_mm.cu:139-161, 303-328).
+        """
+        m, k = self.shape
+        bm, bk = self.blocksize
+        d = dict(self.stats)
+        useful_flops = 2.0 * self.nnz * n_cols
+        block_flops = 2.0 * self.nblocks * bm * bk * n_cols
+        # bytes: block values + gathered B tiles + C out
+        bytes_moved = (
+            self.nblocks * bm * bk * dtype_bytes
+            + self.nblocks * bk * n_cols * dtype_bytes
+            + m * n_cols * dtype_bytes
+        )
+        peak_flops = _ROOFLINE["peak_fp32_flops"]
+        bw = _ROOFLINE["hbm_bandwidth"]
+        t_compute = block_flops / peak_flops
+        t_memory = bytes_moved / bw
+        t_sol = max(t_compute, t_memory)
+        d.update(
+            density=self.nnz / float(m * k),
+            nnz=float(self.nnz),
+            nblocks=float(self.nblocks),
+            ell_width=float(self.ell_width),
+            block_fill=self.nnz / float(max(self.nblocks, 1) * bm * bk),
+            ell_pad_overhead=(self.num_slots - self.nblocks)
+            / float(max(self.nblocks, 1)),
+            vmem_bytes_per_step=float(
+                (bm * bk + bk * n_cols + bm * n_cols) * dtype_bytes
+            ),
+            useful_flops=useful_flops,
+            block_flops=block_flops,
+            bytes_moved=float(bytes_moved),
+            arithmetic_intensity=block_flops / max(bytes_moved, 1),
+            projected_time_s=t_sol,
+            projected_gflops_effective=useful_flops / t_sol / 1e9,
+            projected_nnz_per_s=self.nnz * n_cols / t_sol,
+            bound="compute" if t_compute > t_memory else "memory",
+        )
+        return d
+
+
+# ----------------------------------------------------------------------------
+# Inspector (host side). numpy implementation; csrc/inspector.cpp provides an
+# OpenMP-parallel drop-in used automatically when built (see runtime/native.py).
+# ----------------------------------------------------------------------------
+
+
+def _inspect_numpy(
+    indptr: np.ndarray, indices: np.ndarray, shape: Shape2, blocksize: Shape2
+):
+    m, k = shape
+    bm, bk = blocksize
+    nbr, nbc = cdiv(m, bm), cdiv(k, bk)
+    nnz = int(indices.shape[0])
+
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    cols = indices.astype(np.int64)
+    brow = rows // bm
+    bcol = cols // bk
+
+    keys = brow * nbc + bcol
+    uniq, inv = np.unique(keys, return_inverse=True)
+    ub = (uniq // nbc).astype(np.int64)
+    uc = (uniq % nbc).astype(np.int64)
+
+    counts = np.bincount(ub, minlength=nbr)
+    ell_width = int(max(counts.max(initial=0), 1))
+    group_start = np.zeros(nbr + 1, dtype=np.int64)
+    np.cumsum(counts, out=group_start[1:])
+    slot_of_uniq = np.arange(len(uniq), dtype=np.int64) - group_start[ub]
+
+    block_cols = np.zeros((nbr, ell_width), dtype=np.int32)
+    block_cols[ub, slot_of_uniq] = uc
+    # Pad slots repeat the last valid block id so the executor's pipeline
+    # re-fetches an already-resident B tile instead of a new one.
+    for i in range(nbr):
+        c = counts[i]
+        if 0 < c < ell_width:
+            block_cols[i, c:] = block_cols[i, c - 1]
+
+    slot = slot_of_uniq[inv]
+    scatter_idx = (
+        (brow * ell_width + slot) * (bm * bk) + (rows % bm) * bk + (cols % bk)
+    ).astype(np.int32)
+
+    return block_cols, counts.astype(np.int32), scatter_idx, ell_width, len(uniq)
+
+
+def _inspect(indptr, indices, shape, blocksize):
+    try:
+        from tpusparse.runtime import native
+
+        if native.available():
+            return native.inspect(indptr, indices, shape, blocksize)
+    except ImportError:
+        pass
+    return _inspect_numpy(indptr, indices, shape, blocksize)
+
+
+def build_plan(
+    pattern: CSR, blocksize: Optional[Shape2] = None, use_cache: bool = True
+) -> Plan:
+    """Inspect a CSR pattern into a tiled-SpMM Plan (host-side, one-time).
+
+    Analog of `TiledSpMM_inspect` (sparse_mm.cu:137-368) + the registry
+    append (custom_mm.cpp:315-318), but cached by content fingerprint.
+    """
+    cfg = get_config()
+    blocksize = blocksize or (cfg.spmm_block_m, cfg.spmm_block_k)
+    indptr = np.asarray(pattern.indptr)
+    indices = np.asarray(pattern.indices)
+    key = _fingerprint(pattern.shape, blocksize, indptr, indices)
+    if use_cache and key in _PLAN_CACHE:
+        _CACHE_STATS["hits"] += 1
+        return _PLAN_CACHE[key]
+    _CACHE_STATS["misses"] += 1
+
+    block_cols, nslots, scatter_idx, ell_width, nblocks = _inspect(
+        indptr, indices, pattern.shape, blocksize
+    )
+    bm, bk = blocksize
+    plan = Plan(
+        block_cols=jnp.asarray(block_cols),
+        nslots=jnp.asarray(nslots),
+        scatter_idx=jnp.asarray(scatter_idx),
+        shape=pattern.shape,
+        blocksize=(bm, bk),
+        ell_width=ell_width,
+        nnz=int(indices.shape[0]),
+        nblocks=int(nblocks),
+    )
+    if use_cache:
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
+def build_plan_pair(pattern: CSR, blocksize: Optional[Shape2] = None):
+    """(plan for A, plan for Aᵀ, permutation mapping A.data -> Aᵀ.data).
+
+    The transpose plan drives the dB = Aᵀ·dC backward SpMM
+    (reference backward: matmuls.py:100-102 / :253-254).
+    """
+    plan = build_plan(pattern, blocksize)
+    indptr = np.asarray(pattern.indptr)
+    indices = np.asarray(pattern.indices).astype(np.int64)
+    m, k = pattern.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    t_perm = np.lexsort((rows, indices))  # sort by (col, row): Aᵀ CSR order
+    t_indices = rows[t_perm].astype(np.int32)
+    t_counts = np.bincount(indices, minlength=k)
+    t_indptr = np.zeros(k + 1, dtype=np.int32)
+    np.cumsum(t_counts, out=t_indptr[1:])
+    bm, bk = plan.blocksize
+    pattern_t = CSR(
+        data=jnp.zeros((plan.nnz,), dtype=pattern.dtype),
+        indices=jnp.asarray(t_indices),
+        indptr=jnp.asarray(t_indptr),
+        shape=(k, m),
+    )
+    plan_t = build_plan(pattern_t, (bk, bm))
+    return plan, plan_t, jnp.asarray(t_perm.astype(np.int32))
+
+
+# -- plan cache ---------------------------------------------------------------
+
+_PLAN_CACHE: Dict[str, Plan] = {}
+_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _fingerprint(shape, blocksize, indptr: np.ndarray, indices: np.ndarray) -> str:
+    h = hashlib.sha1()
+    h.update(repr((tuple(shape), tuple(blocksize))).encode())
+    h.update(indptr.tobytes())
+    h.update(indices.tobytes())
+    return h.hexdigest()
+
+
+def plan_cache_info() -> Dict[str, int]:
+    return {"size": len(_PLAN_CACHE), **_CACHE_STATS}
+
+
+def clear_plan_cache():
+    _PLAN_CACHE.clear()
+    _CACHE_STATS.update(hits=0, misses=0)

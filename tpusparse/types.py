@@ -1,0 +1,408 @@
+"""Sparse array containers (COO / CSR / BSR) as registered JAX pytrees.
+
+TPU-native replacement for the reference's sparse handling:
+  - torch CSR property extraction (reference matmuls.py:178-187)
+  - host COO->CSR counting sort   (reference src/sparse_mm.cu:110-134)
+  - cuSPARSE dense<->CSR convert  (reference src/baseline_mm.cu:218-264)
+
+Design notes (TPU-first, not a translation):
+  * Containers are immutable pytrees: device arrays as children, static
+    shape/blocksize metadata as aux data, so they pass through ``jit`` /
+    ``vmap`` / ``shard_map`` without retracing on values.
+  * nnz is static (the length of ``data``) — XLA needs static shapes, so
+    sparsity *patterns* are trace-time constants and *values* are traced.
+  * Index dtype is int32 throughout (TPU-native scalar width).
+  * BSR is the performance format: the MXU wants dense (8,128)-multiple
+    blocks, so the tiled kernel path densifies CSR into BSR blocks
+    (see tpusparse/plan.py for the inspector).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Shape2 = Tuple[int, int]
+
+_INDEX_DTYPE = jnp.int32
+
+
+def _static_shape(shape) -> Shape2:
+    shape = tuple(int(s) for s in shape)
+    if len(shape) != 2:
+        raise ValueError(f"sparse containers are 2-D, got shape {shape}")
+    return shape
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class COO:
+    """Coordinate-format sparse matrix.
+
+    data: (nnz,) values; row/col: (nnz,) int32 coordinates; shape static.
+    """
+
+    data: jnp.ndarray
+    row: jnp.ndarray
+    col: jnp.ndarray
+    shape: Shape2
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def density(self) -> float:
+        return self.nnz / float(self.shape[0] * self.shape[1])
+
+    def tree_flatten(self):
+        return (self.data, self.row, self.col), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, row, col = children
+        return cls(data=data, row=row, col=col, shape=aux[0])
+
+    @classmethod
+    def from_dense(cls, mat) -> "COO":
+        """Host-side conversion (nnz is data-dependent, so not jittable)."""
+        mat = np.asarray(mat)
+        shape = _static_shape(mat.shape)
+        row, col = np.nonzero(mat)
+        order = np.lexsort((col, row))  # row-major order, like the reference
+        row, col = row[order], col[order]
+        return cls(
+            data=jnp.asarray(mat[row, col]),
+            row=jnp.asarray(row, dtype=_INDEX_DTYPE),
+            col=jnp.asarray(col, dtype=_INDEX_DTYPE),
+            shape=shape,
+        )
+
+    def to_dense(self) -> jnp.ndarray:
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.row, self.col].add(self.data)
+
+    def transpose(self) -> "COO":
+        return COO(
+            data=self.data,
+            row=self.col,
+            col=self.row,
+            shape=(self.shape[1], self.shape[0]),
+        )
+
+    @property
+    def T(self) -> "COO":
+        return self.transpose()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class CSR:
+    """Compressed-sparse-row matrix.
+
+    data: (nnz,) values; indices: (nnz,) int32 column ids;
+    indptr: (nrows+1,) int32 row offsets; shape static.
+    """
+
+    data: jnp.ndarray
+    indices: jnp.ndarray
+    indptr: jnp.ndarray
+    shape: Shape2
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def density(self) -> float:
+        return self.nnz / float(self.shape[0] * self.shape[1])
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, indices, indptr = children
+        return cls(data=data, indices=indices, indptr=indptr, shape=aux[0])
+
+    @classmethod
+    def from_dense(cls, mat) -> "CSR":
+        """Host-side conversion (nnz is data-dependent, so not jittable)."""
+        return coo_to_csr(COO.from_dense(mat))
+
+    @classmethod
+    def from_scipy(cls, sp) -> "CSR":
+        sp = sp.tocsr()
+        return cls(
+            data=jnp.asarray(sp.data),
+            indices=jnp.asarray(sp.indices, dtype=_INDEX_DTYPE),
+            indptr=jnp.asarray(sp.indptr, dtype=_INDEX_DTYPE),
+            shape=_static_shape(sp.shape),
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as ssp
+
+        return ssp.csr_matrix(
+            (
+                np.asarray(self.data),
+                np.asarray(self.indices),
+                np.asarray(self.indptr),
+            ),
+            shape=self.shape,
+        )
+
+    def row_ids(self) -> jnp.ndarray:
+        """Expand indptr to a per-nonzero row id vector (jittable)."""
+        return _expand_indptr(self.indptr, self.nnz)
+
+    def to_dense(self) -> jnp.ndarray:
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.row_ids(), self.indices].add(self.data)
+
+    def transpose(self) -> "CSR":
+        """CSR transpose via stable sort on column ids (jittable: nnz static)."""
+        rows = self.row_ids()
+        order = jnp.argsort(self.indices, stable=True)
+        new_indices = rows[order]
+        new_data = self.data[order]
+        counts = jnp.bincount(self.indices, length=self.shape[1])
+        new_indptr = jnp.concatenate(
+            [jnp.zeros((1,), _INDEX_DTYPE), jnp.cumsum(counts).astype(_INDEX_DTYPE)]
+        )
+        return CSR(
+            data=new_data,
+            indices=new_indices.astype(_INDEX_DTYPE),
+            indptr=new_indptr,
+            shape=(self.shape[1], self.shape[0]),
+        )
+
+    @property
+    def T(self) -> "CSR":
+        return self.transpose()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class BSR:
+    """Block-compressed-sparse-row matrix — the TPU performance format.
+
+    data: (nblocks, bm, bk) dense blocks; indices: (nblocks,) int32 block-column
+    ids; indptr: (nrow_blocks+1,) int32; shape static (logical, pre-padding);
+    blocksize static (bm, bk). Rows/cols are conceptually zero-padded up to
+    block multiples; ``to_dense`` strips the padding.
+    """
+
+    data: jnp.ndarray
+    indices: jnp.ndarray
+    indptr: jnp.ndarray
+    shape: Shape2
+    blocksize: Shape2
+
+    @property
+    def nblocks(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        """Stored entries (counts zero fill inside blocks)."""
+        bm, bk = self.blocksize
+        return self.nblocks * bm * bk
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr), (self.shape, self.blocksize)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, indices, indptr = children
+        return cls(
+            data=data, indices=indices, indptr=indptr, shape=aux[0], blocksize=aux[1]
+        )
+
+    def row_block_ids(self) -> jnp.ndarray:
+        return _expand_indptr(self.indptr, self.nblocks)
+
+    def to_dense(self) -> jnp.ndarray:
+        bm, bk = self.blocksize
+        nbr = self.indptr.shape[0] - 1
+        nbc = _cdiv(self.shape[1], bk)
+        padded = jnp.zeros((nbr, nbc, bm, bk), dtype=self.dtype)
+        padded = padded.at[self.row_block_ids(), self.indices].add(self.data)
+        full = padded.transpose(0, 2, 1, 3).reshape(nbr * bm, nbc * bk)
+        return full[: self.shape[0], : self.shape[1]]
+
+    @classmethod
+    def from_dense(cls, mat, blocksize: Shape2) -> "BSR":
+        """Host-side conversion keeping only blocks with any nonzero."""
+        mat = np.asarray(mat)
+        shape = _static_shape(mat.shape)
+        bm, bk = blocksize
+        nbr, nbc = _cdiv(shape[0], bm), _cdiv(shape[1], bk)
+        padded = np.zeros((nbr * bm, nbc * bk), dtype=mat.dtype)
+        padded[: shape[0], : shape[1]] = mat
+        blocks = padded.reshape(nbr, bm, nbc, bk).transpose(0, 2, 1, 3)
+        mask = np.abs(blocks).sum(axis=(2, 3)) != 0  # (nbr, nbc)
+        brow, bcol = np.nonzero(mask)
+        indptr = np.zeros(nbr + 1, dtype=np.int32)
+        np.add.at(indptr[1:], brow, 1)
+        indptr = np.cumsum(indptr).astype(np.int32)
+        return cls(
+            data=jnp.asarray(blocks[brow, bcol]),
+            indices=jnp.asarray(bcol, dtype=_INDEX_DTYPE),
+            indptr=jnp.asarray(indptr),
+            shape=shape,
+            blocksize=(bm, bk),
+        )
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _expand_indptr(indptr: jnp.ndarray, nnz: int) -> jnp.ndarray:
+    """indptr (n+1,) -> per-entry row ids (nnz,). Jittable; nnz static."""
+    return (
+        jnp.searchsorted(indptr, jnp.arange(nnz, dtype=_INDEX_DTYPE), side="right")
+        .astype(_INDEX_DTYPE)
+        - 1
+    )
+
+
+# ----------------------------------------------------------------------------
+# Format conversions (jittable where nnz is static)
+# ----------------------------------------------------------------------------
+
+
+def coo_to_csr(a: COO) -> "CSR":
+    """COO -> CSR. Jittable analog of the reference's host counting sort
+    (src/sparse_mm.cu:110-134); requires row-sorted input like the reference,
+    but sorts defensively since that's free under XLA fusion."""
+    order = jnp.argsort(a.row, stable=True)
+    counts = jnp.bincount(a.row, length=a.shape[0])
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), _INDEX_DTYPE), jnp.cumsum(counts).astype(_INDEX_DTYPE)]
+    )
+    return CSR(
+        data=a.data[order],
+        indices=a.col[order].astype(_INDEX_DTYPE),
+        indptr=indptr,
+        shape=a.shape,
+    )
+
+
+def csr_to_coo(a: CSR) -> COO:
+    return COO(data=a.data, row=a.row_ids(), col=a.indices, shape=a.shape)
+
+
+def csr_to_bsr(a: CSR, blocksize: Shape2) -> BSR:
+    """Host-side CSR -> BSR densification (pattern-dependent block count)."""
+    return BSR.from_dense(np.asarray(a.to_dense()), blocksize)
+
+
+def bsr_to_csr(a: BSR) -> CSR:
+    """Host-side BSR -> CSR (drops explicit zeros inside blocks)."""
+    return CSR.from_dense(np.asarray(a.to_dense()))
+
+
+# ----------------------------------------------------------------------------
+# Random fixtures (tests + benchmarks)
+# ----------------------------------------------------------------------------
+
+
+def random_coo(key, shape: Shape2, density: float, dtype=jnp.float32) -> COO:
+    """Uniformly random sparsity pattern with uniform(0,1) values.
+
+    Mirrors the reference test fixtures (`gen_coords`/`sparsify`,
+    tests/cusparse_kernel_test.py:13-30) but with exact nnz via choice
+    without replacement, seeded by a JAX PRNG key.
+    """
+    m, n = _static_shape(shape)
+    nnz = max(1, int(round(density * m * n)))
+    kv, kc = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
+    # Host-side pattern sampling: patterns are trace-time constants anyway.
+    seed = int(jax.random.randint(kc, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    flat = rng.choice(m * n, size=nnz, replace=False)
+    flat.sort()
+    row = (flat // n).astype(np.int32)
+    col = (flat % n).astype(np.int32)
+    data = jax.random.uniform(kv, (nnz,), dtype=dtype)
+    return COO(
+        data=data,
+        row=jnp.asarray(row),
+        col=jnp.asarray(col),
+        shape=(m, n),
+    )
+
+
+def random_csr(key, shape: Shape2, density: float, dtype=jnp.float32) -> CSR:
+    return coo_to_csr(random_coo(key, shape, density, dtype))
+
+
+# ----------------------------------------------------------------------------
+# Pure-jnp reference ops (the oracle everything else is tested against)
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("reduce",))
+def spmm_reference(a: CSR, b: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
+    """Gather/segment SpMM: C[i,:] = reduce_{j in row i} A[i,j] * B[j,:].
+
+    XLA-path oracle for the Pallas kernels; supports the reference's
+    reduction modes (src/naive_reducer.cuh:23-46 ReductionType).
+    """
+    if b.ndim != 2:
+        raise ValueError(f"spmm_reference expects 2-D b, got {b.shape}")
+    rows = a.row_ids()
+    gathered = b[a.indices] * a.data[:, None]
+    m = a.shape[0]
+    if reduce == "sum":
+        return jax.ops.segment_sum(gathered, rows, num_segments=m)
+    if reduce == "mean":
+        s = jax.ops.segment_sum(gathered, rows, num_segments=m)
+        cnt = jax.ops.segment_sum(
+            jnp.ones_like(a.data), rows, num_segments=m
+        )
+        return s / jnp.maximum(cnt, 1.0)[:, None]
+    if reduce == "max":
+        return jax.ops.segment_max(gathered, rows, num_segments=m)
+    if reduce == "min":
+        return jax.ops.segment_min(gathered, rows, num_segments=m)
+    if reduce == "mul":
+        return jax.ops.segment_prod(gathered, rows, num_segments=m)
+    raise ValueError(f"unknown reduce mode {reduce!r}")
+
+
+@jax.jit
+def sddmm_reference(a_pattern: CSR, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sampled dense-dense matmul: out[k] = (X @ Y)[row_k, col_k].
+
+    Returns per-nonzero values in a_pattern's order — the mathematically
+    right dA gradient for SpMM (restricted to A's pattern), which the
+    reference approximates by densify->CSR->full SpMM (matmuls.py:245-256).
+    """
+    rows = a_pattern.row_ids()
+    # Per-nonzero dot product of X row and Y column.
+    return jnp.einsum(
+        "nk,nk->n",
+        x[rows],
+        y[:, a_pattern.indices].T,
+        precision=jax.lax.Precision.HIGHEST,
+    )

@@ -1,0 +1,90 @@
+"""Framework configuration.
+
+TPU-native analog of the reference's compile-time ``#define`` knobs
+(src/sparse_mm.cu:6-16: NUMBLOCKS/BLOCKSIZE/REGISTER/BUFFSIZE/WARPSIZE) —
+a small dataclass resolved at trace time. Pallas block shapes are the
+analog of BLOCKSIZE/BUFFSIZE; the VMEM budget is the analog of the 96KB
+shared-memory buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclasses.dataclass
+class Config:
+    # Dense Pallas GEMM tile sizes (MXU-aligned).
+    gemm_block_m: int = 512
+    gemm_block_n: int = 512
+    gemm_block_k: int = 512
+    # Whether dense ops route 2-D matmuls through the Pallas GEMM kernel
+    # (otherwise lax.dot_general; XLA's GEMM is the fallback either way).
+    use_pallas_gemm: bool = False
+    # Tiled SpMM block sizes (BSR block = (block_m, block_k); N tile = block_n).
+    spmm_block_m: int = 128
+    spmm_block_k: int = 128
+    spmm_block_n: int = 512
+    # VMEM budget per kernel instance (bytes); analog of the reference's
+    # 96KB shared-memory BUFFSIZE but sized for TPU VMEM (~16MB less headroom).
+    vmem_limit_bytes: int = 100 * 1024 * 1024
+    # Force Pallas interpreter mode (None = auto: interpret on CPU backend).
+    interpret: Optional[bool] = None
+    # Default matmul precision for fp32 parity with the reference's
+    # torch.allclose tolerances (fp32 cuBLAS); "highest" = 3-pass bf16 MXU.
+    precision: str = "highest"
+
+
+_config = Config()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(**kwargs) -> Config:
+    for k, v in kwargs.items():
+        if not hasattr(_config, k):
+            raise AttributeError(f"unknown config field {k!r}")
+        setattr(_config, k, v)
+    return _config
+
+
+def matmul_precision(override: Optional[str] = None):
+    """Resolve the configured fp32 matmul precision to a lax.Precision.
+
+    'highest' runs fp32 operands as multi-pass bf16 on the MXU so results
+    hit the reference's torch.allclose tolerances (SURVEY.md §7.3 numerics);
+    'default' is single-pass bf16 (fast path for perf runs).
+    """
+    name = override or _config.precision
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+@functools.cache
+def _default_backend() -> str:
+    return jax.default_backend()
+
+
+def interpret_mode() -> bool:
+    """Pallas kernels run interpreted on non-TPU backends so the whole test
+    suite runs without a TPU (SURVEY.md §4 test-plan requirement)."""
+    if _config.interpret is not None:
+        return _config.interpret
+    return _default_backend() != "tpu"
