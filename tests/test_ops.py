@@ -1,0 +1,176 @@
+"""Autograd tests for the public op surface — the coverage the reference
+lacks entirely (its backward passes are only exercised implicitly by the
+MNIST benchmark; no gradcheck anywhere, SURVEY.md §4).
+
+Uses jax.test_util.check_grads-style VJP checks against numeric diffs and
+analytic formulas.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+from tpusparse import CSR, ops, random_csr, spmm_reference
+from tpusparse.plan import build_plan_pair
+
+jax.config.update("jax_enable_x64", False)
+
+GRAD_KW = dict(order=1, modes=["rev"], atol=5e-3, rtol=5e-3, eps=1e-3)
+
+
+@pytest.mark.parametrize(
+    "op,a_shape,b_shape",
+    [
+        (ops.mm, (8, 16), (16, 12)),
+        (ops.transa_mm, (16, 8), (16, 12)),
+        (ops.transb_mm, (8, 16), (12, 16)),
+        (ops.transab_mm, (16, 8), (12, 16)),
+        (ops.mm, (3, 8, 16), (3, 16, 12)),
+        (ops.transb_mm, (2, 3, 8, 16), (2, 3, 12, 16)),
+    ],
+)
+def test_dense_op_grads(rng, op, a_shape, b_shape):
+    a = jnp.asarray(rng.random(a_shape, dtype=np.float32))
+    b = jnp.asarray(rng.random(b_shape, dtype=np.float32))
+    check_grads(op, (a, b), **GRAD_KW)
+
+
+@pytest.mark.parametrize(
+    "op,transa,transb",
+    [
+        (ops.mm, False, False),
+        (ops.transa_mm, True, False),
+        (ops.transb_mm, False, True),
+        (ops.transab_mm, True, True),
+    ],
+)
+def test_dense_op_values(rng, op, transa, transb):
+    a = rng.random((8, 16) if not transa else (16, 8), dtype=np.float32)
+    b = rng.random((16, 12) if not transb else (12, 16), dtype=np.float32)
+    out = op(jnp.asarray(a), jnp.asarray(b))
+    ea = a.T if transa else a
+    eb = b.T if transb else b
+    np.testing.assert_allclose(np.asarray(out), ea @ eb, rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_spmm_grads(rng):
+    a = random_csr(0, (48, 64), 0.1)
+    b = jnp.asarray(rng.random((64, 24), dtype=np.float32))
+    plans = build_plan_pair(a, blocksize=(8, 16))
+
+    def f(data, b):
+        return ops.tiled_spmm(
+            CSR(data, a.indices, a.indptr, a.shape), b, plans=plans
+        )
+
+    check_grads(f, (a.data, b), **GRAD_KW)
+
+
+def test_tiled_spmm_grad_restricted_to_pattern(rng):
+    # dA must match SDDMM(dC, B^T) on the pattern exactly
+    a = random_csr(1, (32, 48), 0.08)
+    b = jnp.asarray(rng.random((48, 16), dtype=np.float32))
+    plans = build_plan_pair(a, blocksize=(8, 8))
+
+    def loss(data):
+        return ops.tiled_spmm(
+            CSR(data, a.indices, a.indptr, a.shape), b, plans=plans
+        ).sum()
+
+    g = jax.grad(loss)(a.data)
+    rows, cols = np.asarray(a.row_ids()), np.asarray(a.indices)
+    expected = np.asarray(b).sum(axis=1)[cols]
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_naive_spmm_grads(rng):
+    a = random_csr(2, (32, 40), 0.12)
+    b = jnp.asarray(rng.random((40, 16), dtype=np.float32))
+
+    def f(data, b):
+        return ops.naive_spmm(CSR(data, a.indices, a.indptr, a.shape), b)
+
+    check_grads(f, (a.data, b), **GRAD_KW)
+
+
+def test_sddmm_grads(rng):
+    a = random_csr(3, (24, 32), 0.1)
+    x = jnp.asarray(rng.random((24, 12), dtype=np.float32))
+    y = jnp.asarray(rng.random((12, 32), dtype=np.float32))
+
+    def f(x, y):
+        return ops.sddmm(a, x, y)
+
+    check_grads(f, (x, y), **GRAD_KW)
+
+
+def test_sddmm_pallas_path_matches(rng):
+    a = random_csr(4, (32, 64), 0.06)
+    x = jnp.asarray(rng.random((32, 16), dtype=np.float32))
+    y = jnp.asarray(rng.random((16, 64), dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(ops.sddmm(a, x, y, use_pallas=True)),
+        np.asarray(ops.sddmm(a, x, y)),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("method", ["tiled", "naive", "reference"])
+def test_spmm_dispatch_equivalence(rng, method):
+    a = random_csr(5, (64, 96), 0.07)
+    b = jnp.asarray(rng.random((96, 32), dtype=np.float32))
+    out = ops.spmm(a, b, method=method)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("method", ["tiled", "naive", "reference"])
+def test_spmm_batched_b(rng, method):
+    # 2-D sparse × 3-D dense: shared pattern mapped over the batch
+    # (reference loops in Python and stacks, matmuls.py:289-293)
+    a = random_csr(6, (32, 48), 0.1)
+    b = jnp.asarray(rng.random((4, 48, 16), dtype=np.float32))
+    out = ops.spmm(a, b, method=method)
+    assert out.shape == (4, 32, 16)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out[i]),
+            np.asarray(spmm_reference(a, b[i])),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+
+def test_spmm_reduce_dispatch(rng):
+    a = random_csr(7, (32, 32), 0.2)
+    b = jnp.asarray(rng.random((32, 8), dtype=np.float32))
+    for reduce in ("mean", "max", "min"):
+        np.testing.assert_allclose(
+            np.asarray(ops.spmm(a, b, reduce=reduce)),
+            np.asarray(spmm_reference(a, b, reduce=reduce)),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+
+def test_tiled_spmm_under_jit_no_retrace(rng):
+    a = random_csr(8, (32, 32), 0.1)
+    b = jnp.ones((32, 8))
+    plans = build_plan_pair(a)
+    traces = 0
+
+    @jax.jit
+    def step(data, b):
+        nonlocal traces
+        traces += 1
+        return ops.tiled_spmm(
+            CSR(data, a.indices, a.indptr, a.shape), b, plans=plans
+        ).sum()
+
+    step(a.data, b)
+    step(a.data * 2, b)
+    assert traces == 1

@@ -1,0 +1,185 @@
+"""Pallas SpMM/SDDMM kernel tests vs the XLA reference ops (interpret mode).
+
+Shape grid mirrors the reference sparse suites: ((n,n), (n,2n), (n,n/2),
+(2n,n)) pairs (tests/cusparse_kernel_test.py:32-38, tiledsppm_kernel_test.py:
+34-39) at several densities, scaled for interpreter-mode runtime.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse import CSR, random_csr, spmm_reference, sddmm_reference
+from tpusparse.kernels.naive_spmm import ell_pack, naive_spmm_pallas
+from tpusparse.kernels.sddmm import sddmm_pallas
+from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+from tpusparse.plan import build_plan, build_plan_pair, plan_cache_info
+
+N = 64
+SHAPE_GRID = [(N, N), (N, 2 * N), (N, N // 2), (2 * N, N)]
+
+
+def _case(key, shape_a, density, n_cols, rng):
+    a = random_csr(key, shape_a, density)
+    b = jnp.asarray(rng.random((shape_a[1], n_cols), dtype=np.float32))
+    return a, b
+
+
+@pytest.mark.parametrize("shape_a", SHAPE_GRID)
+@pytest.mark.parametrize("density", [0.01, 0.1])
+def test_naive_spmm_vs_reference(rng, shape_a, density):
+    a, b = _case(0, shape_a, density, 48, rng)
+    out = naive_spmm_pallas(ell_pack(a), a.shape, b)
+    expected = spmm_reference(a, b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max", "min", "mul"])
+def test_naive_spmm_reducers(rng, reduce):
+    a, b = _case(1, (32, 48), 0.15, 16, rng)
+    out = naive_spmm_pallas(ell_pack(a), a.shape, b, reduce=reduce)
+    expected = spmm_reference(a, b, reduce=reduce)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_naive_spmm_empty_rows(rng):
+    # rows with zero nonzeros must produce the reduction identity
+    mat = np.zeros((16, 24), np.float32)
+    mat[3, [1, 5]] = [2.0, 3.0]
+    mat[10, 7] = 4.0
+    a = CSR.from_dense(mat)
+    b = jnp.asarray(rng.random((24, 16), dtype=np.float32))
+    out = naive_spmm_pallas(ell_pack(a), a.shape, b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("shape_a", SHAPE_GRID)
+@pytest.mark.parametrize("density", [0.005, 0.05, 0.3])
+def test_tiled_spmm_vs_reference(rng, shape_a, density):
+    a, b = _case(2, shape_a, density, 40, rng)
+    plan = build_plan(a, blocksize=(8, 16))
+    out = tiled_spmm_pallas(plan, plan.pack_values(a.data), b)
+    expected = spmm_reference(a, b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("blocksize", [(8, 8), (8, 32), (16, 16), (32, 8)])
+def test_tiled_spmm_blocksizes(rng, blocksize):
+    a, b = _case(3, (96, 80), 0.05, 24, rng)
+    plan = build_plan(a, blocksize=blocksize)
+    out = tiled_spmm_pallas(plan, plan.pack_values(a.data), b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tiled_spmm_ragged_dims(rng):
+    # dims not multiples of blocksize exercise the padding path
+    a, b = _case(4, (50, 70), 0.08, 17, rng)
+    plan = build_plan(a, blocksize=(16, 16))
+    out = tiled_spmm_pallas(plan, plan.pack_values(a.data), b)
+    assert out.shape == (50, 17)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tiled_spmm_skewed_rows(rng):
+    # one dense row-block, rest nearly empty: exercises the ELL skip logic
+    mat = np.zeros((64, 64), np.float32)
+    mat[0, :] = rng.random(64, dtype=np.float32)  # dense row
+    mat[40, 13] = 7.0
+    a = CSR.from_dense(mat)
+    b = jnp.asarray(rng.random((64, 32), dtype=np.float32))
+    plan = build_plan(a, blocksize=(8, 8))
+    assert plan.ell_width == 8  # the dense row forces full width
+    assert int(np.asarray(plan.nslots).min()) == 0  # empty row-blocks skip all
+    out = tiled_spmm_pallas(plan, plan.pack_values(a.data), b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_plan_pack_unpack_roundtrip(rng):
+    a = random_csr(5, (64, 96), 0.1)
+    plan = build_plan(a, blocksize=(8, 16))
+    blocks = plan.pack_values(a.data)
+    np.testing.assert_array_equal(
+        np.asarray(plan.unpack_values(blocks)), np.asarray(a.data)
+    )
+
+
+def test_plan_cache_hit():
+    from tpusparse.plan import clear_plan_cache
+
+    clear_plan_cache()
+    a = random_csr(6, (64, 64), 0.05)
+    p1 = build_plan(a, blocksize=(8, 8))
+    p2 = build_plan(a, blocksize=(8, 8))
+    assert p1 is p2
+    info = plan_cache_info()
+    assert info["hits"] == 1 and info["misses"] == 1
+
+
+def test_plan_report_fields():
+    a = random_csr(7, (128, 128), 0.02)
+    plan = build_plan(a, blocksize=(8, 16))
+    rep = plan.report(n_cols=64)
+    for key in (
+        "density",
+        "block_fill",
+        "ell_pad_overhead",
+        "projected_gflops_effective",
+        "projected_nnz_per_s",
+        "arithmetic_intensity",
+        "bound",
+    ):
+        assert key in rep
+    assert 0 < rep["block_fill"] <= 1
+
+
+@pytest.mark.parametrize("shape_a,n_cols", [((64, 64), 32), ((64, 96), 40)])
+def test_sddmm_pallas_vs_reference(rng, shape_a, n_cols):
+    a = random_csr(8, shape_a, 0.08)
+    plan, _, _ = build_plan_pair(a, blocksize=(8, 16))
+    dc = jnp.asarray(rng.random((shape_a[0], n_cols), dtype=np.float32))
+    bt = jnp.asarray(rng.random((shape_a[1], n_cols), dtype=np.float32))
+    blocks = sddmm_pallas(plan, dc, bt)
+    vals = plan.unpack_values(blocks)
+    expected = sddmm_reference(a, dc, jnp.swapaxes(bt, 0, 1))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(expected), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sddmm_pallas_zeroes_padding(rng):
+    # padded ELL slots must carry zero gradient blocks
+    a = random_csr(9, (32, 64), 0.03)
+    plan, _, _ = build_plan_pair(a, blocksize=(8, 8))
+    dc = jnp.ones((32, 16))
+    bt = jnp.ones((64, 16))
+    blocks = np.asarray(sddmm_pallas(plan, dc, bt))
+    nslots = np.asarray(plan.nslots)
+    L = plan.ell_width
+    for i in range(plan.num_row_blocks):
+        for l in range(nslots[i], L):
+            np.testing.assert_array_equal(blocks[i * L + l], 0)
+
+
+def test_transpose_plan_consistency(rng):
+    a = random_csr(10, (48, 80), 0.1)
+    plan, plan_t, t_perm = build_plan_pair(a, blocksize=(8, 16))
+    assert plan_t.shape == (80, 48)
+    b = jnp.asarray(rng.random((48, 24), dtype=np.float32))
+    out = tiled_spmm_pallas(plan_t, plan_t.pack_values(a.data[t_perm]), b)
+    expected = np.asarray(a.to_dense()).T @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
