@@ -1,0 +1,4 @@
+from tpusparse.models.mlp import MnistNet, train_step, make_train_state
+from tpusparse.models.bert import BertAttentionLayer
+
+__all__ = ["MnistNet", "train_step", "make_train_state", "BertAttentionLayer"]

@@ -253,10 +253,14 @@ def build_plan(
         indptr, indices, pattern.shape, blocksize
     )
     bm, bk = blocksize
+    # Plan children stay host numpy arrays: build_plan may run at trace
+    # time (inside jit), where jnp constructors would capture tracers into
+    # the process-global cache. numpy constants are trace-safe and are
+    # device_put automatically at kernel-call boundaries.
     plan = Plan(
-        block_cols=jnp.asarray(block_cols),
-        nslots=jnp.asarray(nslots),
-        scatter_idx=jnp.asarray(scatter_idx),
+        block_cols=np.ascontiguousarray(block_cols),
+        nslots=np.ascontiguousarray(nslots),
+        scatter_idx=np.ascontiguousarray(scatter_idx),
         shape=pattern.shape,
         blocksize=(bm, bk),
         ell_width=ell_width,
@@ -285,14 +289,15 @@ def build_plan_pair(pattern: CSR, blocksize: Optional[Shape2] = None):
     t_indptr = np.zeros(k + 1, dtype=np.int32)
     np.cumsum(t_counts, out=t_indptr[1:])
     bm, bk = plan.blocksize
+    # host numpy throughout (see build_plan note on trace-time safety)
     pattern_t = CSR(
-        data=jnp.zeros((plan.nnz,), dtype=pattern.dtype),
-        indices=jnp.asarray(t_indices),
-        indptr=jnp.asarray(t_indptr),
+        data=np.zeros((plan.nnz,), dtype=np.dtype(pattern.dtype)),
+        indices=t_indices,
+        indptr=t_indptr,
         shape=(k, m),
     )
     plan_t = build_plan(pattern_t, (bk, bm))
-    return plan, plan_t, jnp.asarray(t_perm.astype(np.int32))
+    return plan, plan_t, t_perm.astype(np.int32)
 
 
 # -- plan cache ---------------------------------------------------------------
