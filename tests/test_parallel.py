@@ -1,0 +1,127 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh.
+
+The reference has no distributed components (SURVEY.md §2.5); these tests
+validate the new sharded SpMM paths (row-partitioned + ring halo) against
+the single-device reference op, and the dp×tp training step end-to-end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse import random_csr, spmm_reference
+from tpusparse.parallel import (
+    halo_spmm,
+    make_mesh,
+    shard_plan_2d,
+    shard_plan_rows,
+    sharded_spmm,
+)
+from tpusparse.parallel.train import (
+    ShardedMLPConfig,
+    make_sharded_train_state,
+    make_sharded_train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh((1, 8), ("data", "model"))
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    return make_mesh((2, 4), ("data", "model"))
+
+
+@pytest.mark.parametrize("shape", [(128, 96), (200, 130)])
+def test_sharded_spmm_matches_reference(rng, mesh8, shape):
+    a = random_csr(0, shape, 0.08)
+    b = jnp.asarray(rng.random((shape[1], 24), dtype=np.float32))
+    rsp = shard_plan_rows(a, 8, blocksize=(8, 16))
+    out = sharded_spmm(rsp, a.data, b, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (160, 250)])
+def test_halo_spmm_matches_reference(rng, mesh8, shape):
+    a = random_csr(1, shape, 0.06)
+    b = jnp.asarray(rng.random((shape[1], 16), dtype=np.float32))
+    hsp = shard_plan_2d(a, 8, blocksize=(8, 16))
+    out = halo_spmm(hsp, a.data, b, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_halo_spmm_on_2d_mesh(rng, mesh2x4):
+    a = random_csr(2, (64, 64), 0.1)
+    b = jnp.asarray(rng.random((64, 8), dtype=np.float32))
+    hsp = shard_plan_2d(a, 4, blocksize=(8, 8))
+    out = halo_spmm(hsp, a.data, b, mesh2x4, axis="model")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_train_step_loss_drops(mesh2x4):
+    cfg = ShardedMLPConfig(
+        in_features=64, hidden=32, num_classes=10, density=0.2, blocksize=(8, 16)
+    )
+    params, rsp, mask, tx, opt_state = make_sharded_train_state(
+        cfg, mesh2x4, jax.random.PRNGKey(0)
+    )
+    step = make_sharded_train_step(cfg, mesh2x4, rsp, tx)
+
+    rng = np.random.default_rng(0)
+    protos = rng.normal(size=(10, 64)).astype(np.float32)
+    losses = []
+    for i in range(30):
+        y = rng.integers(0, 10, size=(16,))
+        x = protos[y] + 0.3 * rng.normal(size=(16, 64)).astype(np.float32)
+        params, opt_state, loss = step(
+            params, opt_state, mask, jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_sharded_train_step_mask_preserved(mesh2x4):
+    # updates must never leak outside the sparsity pattern
+    cfg = ShardedMLPConfig(
+        in_features=64, hidden=32, num_classes=10, density=0.2, blocksize=(8, 16)
+    )
+    params, rsp, mask, tx, opt_state = make_sharded_train_state(
+        cfg, mesh2x4, jax.random.PRNGKey(0)
+    )
+    step = make_sharded_train_step(cfg, mesh2x4, rsp, tx)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, size=(8,)).astype(np.int32))
+    for _ in range(3):
+        params, opt_state, _ = step(params, opt_state, mask, x, y)
+    w1 = np.asarray(params["w1_blocks"])
+    np.testing.assert_array_equal(w1 * (1 - np.asarray(mask)), 0)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (32, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

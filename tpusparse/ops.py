@@ -162,6 +162,36 @@ def tiled_spmm(
 
 
 # ----------------------------------------------------------------------------
+# Block-form SpMM (differentiable; used by the distributed/TP layers where
+# parameters live directly in ELL block form with a static 0/1 block mask)
+# ----------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def spmm_blocks(plan: Plan, blocks, b):
+    """C = A @ B where A is given as the plan's packed ELL blocks."""
+    return tiled_spmm_pallas(plan, blocks, b)
+
+
+def _spmm_blocks_fwd(plan, blocks, b):
+    return spmm_blocks(plan, blocks, b), (plan, blocks, b)
+
+
+def _spmm_blocks_bwd(res, g):
+    plan, blocks, b = res
+    dblocks = sddmm_pallas(plan, g, b).astype(blocks.dtype)
+    # dB = Aᵀ·dC. Without a transpose plan in block form, fall back to a
+    # dense Aᵀ — fine for layer-1 weights (dx unused) and modest k×m;
+    # perf-critical paths should use ops.tiled_spmm with plan pairs.
+    a_dense = plan.blocks_to_dense(blocks)
+    db = dense.matmul(a_dense, g, transa=True).astype(b.dtype)
+    return _zeros_tangent(plan), dblocks, db
+
+
+spmm_blocks.defvjp(_spmm_blocks_fwd, _spmm_blocks_bwd)
+
+
+# ----------------------------------------------------------------------------
 # Naive SpMM with autograd (XLA-gather backward; supports reducers fwd-only)
 # ----------------------------------------------------------------------------
 

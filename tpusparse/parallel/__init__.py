@@ -1,0 +1,23 @@
+from tpusparse.parallel.mesh import make_mesh, initialize_distributed
+from tpusparse.parallel.spmm import (
+    RowShardedPlan,
+    shard_plan_rows,
+    sharded_spmm,
+    HaloShardedPlan,
+    shard_plan_2d,
+    halo_spmm,
+)
+from tpusparse.parallel.train import make_sharded_train_state, make_sharded_train_step
+
+__all__ = [
+    "make_mesh",
+    "initialize_distributed",
+    "RowShardedPlan",
+    "shard_plan_rows",
+    "sharded_spmm",
+    "HaloShardedPlan",
+    "shard_plan_2d",
+    "halo_spmm",
+    "make_sharded_train_state",
+    "make_sharded_train_step",
+]

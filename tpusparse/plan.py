@@ -127,6 +127,30 @@ class Plan:
         """Gather per-nonzero values back out of block form (for dA grads)."""
         return block_vals.reshape(-1)[self.scatter_idx]
 
+    def slot_valid_mask(self) -> jnp.ndarray:
+        """(nbr, L) 1/0 mask of valid (non-pad) ELL slots (jittable)."""
+        L = self.ell_width
+        slots = jnp.arange(L, dtype=jnp.int32)[None, :]
+        return (slots < jnp.asarray(self.nslots)[:, None]).astype(jnp.float32)
+
+    def blocks_to_dense(self, block_vals: jnp.ndarray) -> jnp.ndarray:
+        """Scatter ELL blocks back to a dense (m, k) matrix (jittable).
+
+        Padded slots repeat a valid block id, so they must be masked out
+        before the scatter-add to avoid double counting.
+        """
+        bm, bk = self.blocksize
+        nbr, nbc, L = self.num_row_blocks, self.num_col_blocks, self.ell_width
+        blk = block_vals.reshape(nbr, L, bm, bk)
+        blk = blk * self.slot_valid_mask()[..., None, None].astype(blk.dtype)
+        rows = jnp.broadcast_to(
+            jnp.arange(nbr, dtype=jnp.int32)[:, None], (nbr, L)
+        )
+        dense4 = jnp.zeros((nbr, nbc, bm, bk), dtype=blk.dtype)
+        dense4 = dense4.at[rows, jnp.asarray(self.block_cols)].add(blk)
+        full = dense4.transpose(0, 2, 1, 3).reshape(nbr * bm, nbc * bk)
+        return full[: self.shape[0], : self.shape[1]]
+
     # -- reporting -----------------------------------------------------------
     def report(self, n_cols: int = 256, dtype_bytes: int = 4) -> Dict[str, float]:
         """Inspector stats + projected roofline for C = A @ B with B (k, n).
