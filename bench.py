@@ -1,0 +1,147 @@
+"""Headline benchmark — run on a real TPU chip by the driver.
+
+Methodology mirrors the reference's own harness, which times its custom
+kernel against torch.matmul on the same workload (tests/
+cublas_kernel_test.py:11-23 "Our time" vs "PyTorch time"): the tiled
+inspector-executor SpMM is timed against XLA's dense matmul performing
+the same logical product at matched fp32 precision. Timing uses chained
+in-graph iterations with a scalar fetch (tpusparse/utils/timing.py) —
+single-call wall-clocking here measures the host↔TPU tunnel (~25 ms), not
+the kernel.
+
+Headline workload: block-sparse weights (10% of 128×128 blocks occupied)
+at 16384×16384 × dense 16384×512 — the regime the tiled executor is
+designed for (MXU-sized blocks, DMA-ring B-tile gathers). The unstructured
+ultra-sparse regime (reference tiledspmm test, ~1/n density) and dense
+GEMM / BERT-attention sub-metrics land in BENCH_DETAILS.json.
+
+Prints ONE JSON line; vs_baseline = speedup over dense XLA matmul (the
+torch.matmul analog).
+"""
+
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import tpusparse as ts
+    from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+    from tpusparse.plan import build_plan
+    from tpusparse.utils.timing import device_time_per_iter
+
+    details = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+
+    def norm(y):
+        return y / (1.0 + jnp.abs(y).max())
+
+    def run_pair(a, n, blocksize, key=1):
+        k = a.shape[1]
+        b0 = jax.random.uniform(jax.random.PRNGKey(key), (k, n))
+        plan = build_plan(a, blocksize=blocksize)
+        bv = plan.pack_values(a.data)
+        a_dense = a.to_dense()
+
+        def dense_step(x):
+            A, b = x
+            return A, norm(jnp.matmul(A, b, precision=jax.lax.Precision.HIGHEST))
+
+        def sparse_step(x):
+            bv_, b = x
+            return bv_, norm(tiled_spmm_pallas(plan, bv_, b))
+
+        t_dense = device_time_per_iter(dense_step, (a_dense, b0))
+        t_sparse = device_time_per_iter(sparse_step, (bv, b0))
+        out = np.asarray(tiled_spmm_pallas(plan, bv, b0))
+        ref = np.asarray(
+            jnp.matmul(a_dense, b0, precision=jax.lax.Precision.HIGHEST)
+        )
+        scale = max(np.abs(ref).max(), 1.0)
+        rel_err = float(np.abs(out - ref).max() / scale)
+        assert rel_err < 5e-3, f"parity failure: rel err {rel_err}"
+        return {
+            "dense_ms": t_dense * 1e3,
+            "sparse_ms": t_sparse * 1e3,
+            "speedup": t_dense / t_sparse,
+            "nnz": a.nnz,
+            "effective_gflops": 2.0 * a.nnz * n / t_sparse / 1e9,
+            "nnz_per_s": a.nnz * n / t_sparse,
+            "rel_err": rel_err,
+            "plan_nblocks": plan.nblocks,
+            "plan_ell_width": plan.ell_width,
+        }
+
+    def block_sparse_csr(seed, shape, bshape, occupancy):
+        rng = np.random.default_rng(seed)
+        m, k = shape
+        bm, bk = bshape
+        mask = rng.random((m // bm, k // bk)) < occupancy
+        vals = rng.random((m, k), dtype=np.float32) * np.kron(
+            mask, np.ones((bm, bk), np.float32)
+        )
+        return ts.CSR.from_dense(vals)
+
+    m = k = 16384
+
+    # ---- headline: block-sparse 10% of 128x128 blocks, n=512 ---------------
+    head = run_pair(block_sparse_csr(1, (m, k), (128, 128), 0.10), 512, (128, 128))
+    details["block_sparse_10pct"] = head
+
+    # ---- detail: unstructured ultra-sparse (reference tiled-test regime) ---
+    details["unstructured_5e-5"] = run_pair(
+        ts.random_csr(0, (m, k), 5e-5), 256, (8, 128)
+    )
+
+    # ---- detail: dense GEMM kernel TFLOP/s ----------------------------------
+    from tpusparse.kernels.gemm import gemm_pallas
+
+    x0 = jax.random.uniform(jax.random.PRNGKey(2), (4096, 4096), dtype=jnp.bfloat16)
+
+    def gemm_step(x):
+        y = gemm_pallas(x, x, precision="default", out_dtype=jnp.bfloat16)
+        return norm(y.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    t_gemm = device_time_per_iter(gemm_step, x0)
+    details["gemm_pallas_bf16_4096_tflops"] = 2.0 * 4096**3 / t_gemm / 1e12
+
+    def xla_step(x):
+        y = jnp.matmul(x, x)
+        return norm(y.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    t_xla = device_time_per_iter(xla_step, x0)
+    details["gemm_xla_bf16_4096_tflops"] = 2.0 * 4096**3 / t_xla / 1e12
+
+    # ---- detail: BERT-attention layer step time (seq 512, batch 8) ----------
+    from tpusparse.models import BertAttentionLayer
+
+    layer = BertAttentionLayer()
+    hx = jax.random.normal(jax.random.PRNGKey(4), (8, 512, 768))
+    params = layer.init(jax.random.PRNGKey(0), hx)
+
+    def attn_step(x):
+        return norm(layer.apply(params, x))
+
+    details["bert_attn_fwd_seq512_ms"] = (
+        device_time_per_iter(attn_step, hx, iters_lo=2, iters_hi=10) * 1e3
+    )
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "block_sparse_tiled_spmm_effective_throughput",
+                "value": round(head["effective_gflops"], 1),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(head["speedup"], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

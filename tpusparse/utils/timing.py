@@ -1,0 +1,67 @@
+"""Device-time measurement that survives async dispatch tunnels.
+
+The reference times kernels with host perf_counter around one call
+(tests/cublas_kernel_test.py:11-23). On this TPU environment the runtime
+is fully asynchronous (block_until_ready returns before execution
+completes) and each host→device roundtrip carries ~25 ms of tunnel
+latency, so single-call wall-clocking measures the tunnel, not the
+kernel. Instead: chain the op K times inside one jit with a loop-carried
+data dependency (so XLA cannot hoist it), force completion with a scalar
+fetch, and difference two iteration counts to cancel the fixed overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _chained(step: Callable, iters: int):
+    @jax.jit
+    def run(x):
+        x = jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+        # depend on EVERY leaf: anything unreferenced lets XLA dead-code
+        # eliminate the parts of the loop that produced it
+        return sum(
+            leaf.reshape(-1)[0].astype(jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(x)
+        )
+
+    return run
+
+
+def device_time_per_iter(
+    step: Callable,
+    x0,
+    iters_lo: int = 4,
+    iters_hi: int = 20,
+    repeats: int = 3,
+) -> float:
+    """Seconds per iteration of `step` (a shape-preserving x -> x fn)."""
+
+    def measure(iters):
+        run = _chained(step, iters)
+        float(run(x0))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = measure(iters_lo)
+    t_hi = measure(iters_hi)
+    return max((t_hi - t_lo) / (iters_hi - iters_lo), 1e-9)
+
+
+def normalizing(step: Callable) -> Callable:
+    """Wrap a step to keep magnitudes bounded across chained iterations."""
+
+    def wrapped(x):
+        y = step(x)
+        return y / (1.0 + jnp.abs(y).max())
+
+    return wrapped
