@@ -1,0 +1,138 @@
+// tpusparse native inspector — C++/OpenMP host-side pattern compiler.
+//
+// TPU-native analog of the reference's TiledSpMM inspector, which runs a
+// 3-pass OpenMP preprocessing of the CSR pattern on the host CPU
+// (reference src/sparse_mm.cu:137-368: footprint compression, ELL width
+// computation, warp-interleaved fill). Here the passes compile a CSR
+// pattern into the MXU-block ELL plan consumed by the Pallas executor
+// (tpusparse/plan.py documents the format):
+//
+//   pass 1 (ts_inspect_count): per row-block, count distinct column
+//          blocks touched -> nslots[], global ELL width L = max
+//   pass 2 (ts_inspect_fill): per row-block, emit sorted distinct column
+//          blocks into block_cols[nbr*L] (padding repeats the last valid
+//          id so the executor's DMA ring re-fetches a resident tile) and
+//          the per-nonzero scatter index into the packed value buffer.
+//
+// Parallelism: row-blocks are independent; both passes parallelize over
+// them with per-thread epoch-stamp scratch (no allocation in the loop).
+//
+// Exposed via ctypes (tpusparse/runtime/native.py); no pybind11 needed.
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+inline int64_t cdiv(int64_t a, int64_t b) { return (a + b - 1) / b; }
+
+struct Scratch {
+  std::vector<int32_t> epoch_of;  // last epoch that touched this col-block
+  std::vector<int32_t> slot_of;   // slot id assigned this epoch
+  std::vector<int32_t> distinct;  // distinct col-blocks this row-block
+  int32_t epoch = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: nslots[nbr] out; returns max ELL width L (>= 1).
+int64_t ts_inspect_count(const int32_t* indptr, int64_t m,
+                         const int32_t* indices, int64_t k, int64_t bm,
+                         int64_t bk, int32_t* nslots_out) {
+  const int64_t nbr = cdiv(m, bm);
+  const int64_t nbc = cdiv(k, bk);
+  int64_t max_width = 1;
+
+#pragma omp parallel reduction(max : max_width)
+  {
+    Scratch s;
+    s.epoch_of.assign(nbc, -1);
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t rb = 0; rb < nbr; ++rb) {
+      const int64_t r0 = rb * bm;
+      const int64_t r1 = std::min(r0 + bm, m);
+      const int32_t epoch = s.epoch++;
+      int32_t count = 0;
+      for (int64_t r = r0; r < r1; ++r) {
+        for (int32_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+          const int32_t bc = indices[e] / static_cast<int32_t>(bk);
+          if (s.epoch_of[bc] != epoch) {
+            s.epoch_of[bc] = epoch;
+            ++count;
+          }
+        }
+      }
+      nslots_out[rb] = count;
+      if (count > max_width) max_width = count;
+    }
+  }
+  return max_width;
+}
+
+// Pass 2: block_cols[nbr*L] and scatter_idx[nnz] out.
+void ts_inspect_fill(const int32_t* indptr, int64_t m, const int32_t* indices,
+                     int64_t k, int64_t bm, int64_t bk, int64_t L,
+                     int32_t* block_cols_out, int64_t* scatter_idx_out) {
+  const int64_t nbr = cdiv(m, bm);
+  const int64_t nbc = cdiv(k, bk);
+  const int64_t block_elems = bm * bk;
+
+#pragma omp parallel
+  {
+    Scratch s;
+    s.epoch_of.assign(nbc, -1);
+    s.slot_of.assign(nbc, 0);
+    s.distinct.reserve(static_cast<size_t>(L));
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t rb = 0; rb < nbr; ++rb) {
+      const int64_t r0 = rb * bm;
+      const int64_t r1 = std::min(r0 + bm, m);
+      const int32_t epoch = s.epoch++;
+      s.distinct.clear();
+      for (int64_t r = r0; r < r1; ++r) {
+        for (int32_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+          const int32_t bc = indices[e] / static_cast<int32_t>(bk);
+          if (s.epoch_of[bc] != epoch) {
+            s.epoch_of[bc] = epoch;
+            s.distinct.push_back(bc);
+          }
+        }
+      }
+      std::sort(s.distinct.begin(), s.distinct.end());
+      int32_t* row_cols = block_cols_out + rb * L;
+      const int64_t count = static_cast<int64_t>(s.distinct.size());
+      for (int64_t t = 0; t < count; ++t) {
+        row_cols[t] = s.distinct[t];
+        s.slot_of[s.distinct[t]] = static_cast<int32_t>(t);
+      }
+      const int32_t pad = count > 0 ? row_cols[count - 1] : 0;
+      for (int64_t t = count; t < L; ++t) row_cols[t] = pad;
+
+      for (int64_t r = r0; r < r1; ++r) {
+        for (int32_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+          const int32_t c = indices[e];
+          const int64_t slot = s.slot_of[c / static_cast<int32_t>(bk)];
+          scatter_idx_out[e] = (rb * L + slot) * block_elems +
+                               (r - r0) * bk + (c % static_cast<int32_t>(bk));
+        }
+      }
+    }
+  }
+}
+
+int ts_num_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"

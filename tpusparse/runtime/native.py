@@ -1,0 +1,130 @@
+"""ctypes binding to the native C++/OpenMP inspector (csrc/inspector.cpp).
+
+The reference binds its native code through a pybind11 torch extension
+(src/custom_mm.cpp, src/setup.py); here the host-side runtime is a plain
+shared library loaded via ctypes — no torch, no pybind, and the compute
+path stays JAX/XLA. Auto-builds with g++ on first use (cached); falls
+back to the pure-numpy inspector when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_HERE, "libtsinspector.so")
+_SRC = os.path.join(_HERE, os.pardir, os.pardir, "csrc", "inspector.cpp")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-march=native",
+        "-fPIC",
+        "-fopenmp",
+        "-std=c++17",
+        "-shared",
+        _SRC,
+        "-o",
+        _SO_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.ts_inspect_count.restype = ctypes.c_int64
+        lib.ts_inspect_count.argtypes = [
+            i32p,
+            ctypes.c_int64,
+            i32p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            i32p,
+        ]
+        lib.ts_inspect_fill.restype = None
+        lib.ts_inspect_fill.argtypes = [
+            i32p,
+            ctypes.c_int64,
+            i32p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            i32p,
+            i64p,
+        ]
+        lib.ts_num_threads.restype = ctypes.c_int
+        lib.ts_num_threads.argtypes = []
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    if os.environ.get("TPUSPARSE_NO_NATIVE"):
+        return False
+    return _load() is not None
+
+
+def num_threads() -> int:
+    lib = _load()
+    return lib.ts_num_threads() if lib else 0
+
+
+def inspect(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    shape: Tuple[int, int],
+    blocksize: Tuple[int, int],
+):
+    """Drop-in replacement for plan._inspect_numpy (same return contract)."""
+    lib = _load()
+    assert lib is not None
+    m, k = shape
+    bm, bk = blocksize
+    nbr = -(-m // bm)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    nnz = int(indices.shape[0])
+
+    nslots = np.zeros((nbr,), dtype=np.int32)
+    ell_width = int(lib.ts_inspect_count(indptr, m, indices, k, bm, bk, nslots))
+    block_cols = np.zeros((nbr, ell_width), dtype=np.int32)
+    scatter_idx = np.zeros((nnz,), dtype=np.int64)
+    lib.ts_inspect_fill(
+        indptr, m, indices, k, bm, bk, ell_width, block_cols, scatter_idx
+    )
+    if scatter_idx.size and scatter_idx.max(initial=0) < np.iinfo(np.int32).max:
+        scatter_idx = scatter_idx.astype(np.int32)
+    nblocks = int(nslots.sum())
+    return block_cols, nslots, scatter_idx, ell_width, nblocks
