@@ -1,0 +1,120 @@
+"""Dimension × sparsity timing sweep — dense XLA vs naive vs tiled SpMM.
+
+TPU-native analog of the reference's random-tensor sweep (reference
+benchmarks/random_tensor_benchmark.py:70-91: dims {1024,4096,8192,12288,
+16384}², sparsity {0,.25,.5,.75,.9,.99}, torch vs cuBLAS vs cuSPARSE,
+logged to random_tensor_benchmark.log). Here the contenders are XLA's
+dense matmul (the torch.matmul analog), the naive ELL gather SpMM, and
+the tiled inspector-executor SpMM; timing uses the chained-iteration
+device timer rather than host wall-clock around one call.
+
+Two sparsity regimes per cell: unstructured (uniform-random nnz, the
+reference's regime) and block-structured (occupied MXU-sized blocks,
+the regime the tiled executor targets).
+
+Usage: python benchmarks/random_tensor_benchmark.py [--full] [--n-cols 256]
+"""
+
+from __future__ import annotations
+
+import json
+
+from common import base_parser, get_logger, log_and_print, setup_platform
+
+
+def time_contenders(dim, n_cols, sparsity, structured, seed):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpusparse as ts
+    from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+    from tpusparse.plan import build_plan
+    from tpusparse.utils.timing import device_time_per_iter, normalizing
+
+    density = 1.0 - sparsity
+    if structured:
+        bm = bk = min(128, dim)
+        rng = np.random.default_rng(seed)
+        mask = rng.random((dim // bm, dim // bk)) < density
+        dense_np = rng.random((dim, dim), dtype=np.float32) * np.kron(
+            mask, np.ones((bm, bk), np.float32)
+        )
+        a = ts.CSR.from_dense(dense_np)
+        blocksize = (bm, bk)
+    else:
+        a = ts.random_csr(seed, (dim, dim), max(density, 1.0 / dim))
+        blocksize = None
+    b = jax.random.uniform(jax.random.PRNGKey(seed + 1), (dim, n_cols))
+    a_dense = a.to_dense()
+
+    results = {"dim": dim, "sparsity": sparsity, "structured": structured,
+               "nnz": int(a.nnz)}
+
+    def dense_step(x):
+        A, bb = x
+        return A, normalizing(lambda v: jnp.matmul(A, v))(bb)
+
+    results["dense_ms"] = device_time_per_iter(dense_step, (a_dense, b)) * 1e3
+
+    plan = build_plan(a, blocksize=blocksize)
+    bv = plan.pack_values(a.data)
+
+    def tiled_step(x):
+        vals, bb = x
+        return vals, normalizing(lambda v: tiled_spmm_pallas(plan, vals, v))(bb)
+
+    results["tiled_ms"] = device_time_per_iter(tiled_step, (bv, b)) * 1e3
+    results["tiled_nnz_per_s"] = a.nnz * n_cols / (results["tiled_ms"] / 1e3)
+
+    # naive gather SpMM only where its scalar-prefetched ELL arrays fit the
+    # ~1MB TPU SMEM budget (indices + values are both prefetch operands)
+    if a.nnz <= 60_000:
+        def naive_step(x):
+            av, bb = x
+            a2 = ts.CSR(data=av, indices=a.indices, indptr=a.indptr, shape=a.shape)
+            return av, normalizing(lambda v: ts.naive_spmm(a2, v))(bb)
+
+        results["naive_ms"] = device_time_per_iter(naive_step, (a.data, b)) * 1e3
+    return results
+
+
+def main():
+    p = base_parser("dim × sparsity SpMM sweep")
+    p.add_argument("--n-cols", type=int, default=256)
+    args = p.parse_args()
+    logger = get_logger("sweep", "random_tensor_benchmark.log")
+    setup_platform(cpu=args.cpu)
+
+    if args.full:
+        dims = [1024, 4096, 8192, 12288, 16384]
+        sparsities = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99]
+    else:
+        dims = [512, 1024]
+        sparsities = [0.5, 0.9, 0.99]
+
+    all_results = []
+    for structured in (False, True):
+        for sparsity in sparsities:
+            for dim in dims:
+                r = time_contenders(dim, args.n_cols, sparsity, structured, args.seed)
+                all_results.append(r)
+                best = min(
+                    (v, k) for k, v in r.items() if k.endswith("_ms")
+                )
+                log_and_print(
+                    logger,
+                    f"dim {dim} sparsity {sparsity} "
+                    f"{'block' if structured else 'unstructured'}: "
+                    + " ".join(
+                        f"{k}={v:.3f}" for k, v in r.items() if k.endswith("_ms")
+                    )
+                    + f"  winner={best[1][:-3]}",
+                )
+    with open("random_tensor_results.json", "w") as f:
+        json.dump(all_results, f, indent=2)
+    log_and_print(logger, f"wrote {len(all_results)} cells to random_tensor_results.json")
+
+
+if __name__ == "__main__":
+    main()
