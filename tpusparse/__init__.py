@@ -43,6 +43,8 @@ from tpusparse.ops import (
     sddmm,
 )
 from tpusparse.plan import Plan, build_plan, plan_cache_info, clear_plan_cache
+from tpusparse import patch
+from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_params
 
 __version__ = "0.1.0"
 
@@ -70,6 +72,10 @@ __all__ = [
     "naive_spmm",
     "tiled_spmm",
     "sddmm",
+    "patch",
+    "PatchedDense",
+    "patch_flax_dense",
+    "sparsify_dense_params",
     "Plan",
     "build_plan",
     "plan_cache_info",
