@@ -15,3 +15,25 @@ __all__ = [
     "cdiv",
     "round_up",
 ]
+
+from tpusparse.utils.checkpoint import (
+    CheckpointManager,
+    save_checkpoint,
+    restore_checkpoint,
+)
+from tpusparse.utils.profiling import (
+    trace,
+    annotate,
+    kernel_report,
+    measured_roofline,
+)
+
+__all__ += [
+    "CheckpointManager",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "trace",
+    "annotate",
+    "kernel_report",
+    "measured_roofline",
+]

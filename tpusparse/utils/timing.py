@@ -39,8 +39,16 @@ def device_time_per_iter(
     iters_lo: int = 4,
     iters_hi: int = 20,
     repeats: int = 3,
+    min_delta: float = 8e-3,
+    max_iters: int = 4096,
 ) -> float:
-    """Seconds per iteration of `step` (a shape-preserving x -> x fn)."""
+    """Seconds per iteration of `step` (a shape-preserving x -> x fn).
+
+    Adaptive: if the (iters_hi - iters_lo) iteration delta is below
+    `min_delta` seconds it drowns in host↔device roundtrip jitter (~ms on
+    the tunnel), so iteration counts are scaled up until the delta is
+    measurable — fast kernels are timed over thousands of chained calls.
+    """
 
     def measure(iters):
         run = _chained(step, iters)
@@ -52,9 +60,17 @@ def device_time_per_iter(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo = measure(iters_lo)
-    t_hi = measure(iters_hi)
-    return max((t_hi - t_lo) / (iters_hi - iters_lo), 1e-9)
+    while True:
+        t_lo = measure(iters_lo)
+        t_hi = measure(iters_hi)
+        delta = t_hi - t_lo
+        if delta >= min_delta or iters_hi >= max_iters:
+            return max(delta / (iters_hi - iters_lo), 1e-9)
+        scale = 8 if delta <= 0 else min(
+            8, max(2, int(min_delta / max(delta, 1e-9) + 1))
+        )
+        iters_lo *= scale
+        iters_hi *= scale
 
 
 def normalizing(step: Callable) -> Callable:
