@@ -91,9 +91,44 @@ def main():
     details["block_sparse_10pct"] = head
 
     # ---- detail: unstructured ultra-sparse (reference tiled-test regime) ---
-    details["unstructured_5e-5"] = run_pair(
-        ts.random_csr(0, (m, k), 5e-5), 256, (8, 128)
+    # the auto-router sends this fill to the XLA row-gather path (ops.spmm
+    # method='auto'); measure what the framework actually dispatches
+    from tpusparse.ops import _route_spmm
+
+    a_u = ts.random_csr(0, (m, k), 5e-5)
+    b_u = jax.random.uniform(jax.random.PRNGKey(7), (k, 256))
+    routed = _route_spmm(a_u, b_u, None)
+    a_u_dense = a_u.to_dense()
+
+    def u_dense_step(x):
+        A, bb = x
+        return A, norm(jnp.matmul(A, bb, precision=jax.lax.Precision.HIGHEST))
+
+    def u_auto_step(x):
+        vals, bb = x
+        a2 = ts.CSR(
+            data=vals, indices=a_u.indices, indptr=a_u.indptr, shape=a_u.shape
+        )
+        return vals, norm(ts.spmm(a2, bb, method="auto"))
+
+    t_ud = device_time_per_iter(u_dense_step, (a_u_dense, b_u))
+    t_ua = device_time_per_iter(u_auto_step, (a_u.data, b_u))
+    out_u = np.asarray(ts.spmm(a_u, b_u, method="auto"))
+    ref_u = np.asarray(
+        jnp.matmul(a_u_dense, b_u, precision=jax.lax.Precision.HIGHEST)
     )
+    rel_u = float(np.abs(out_u - ref_u).max() / max(np.abs(ref_u).max(), 1.0))
+    assert rel_u < 5e-3, f"unstructured parity failure: {rel_u}"
+    details["unstructured_5e-5"] = {
+        "dense_ms": t_ud * 1e3,
+        "sparse_ms": t_ua * 1e3,
+        "speedup": t_ud / t_ua,
+        "nnz": a_u.nnz,
+        "effective_gflops": 2.0 * a_u.nnz * 256 / t_ua / 1e9,
+        "nnz_per_s": a_u.nnz * 256 / t_ua,
+        "rel_err": rel_u,
+        "routed": routed,
+    }
 
     # ---- detail: dense GEMM kernel TFLOP/s ----------------------------------
     from tpusparse.kernels.gemm import gemm_pallas

@@ -1,0 +1,125 @@
+"""Tests for the gather SpMM path, grouped executor, and the auto-router.
+
+The router is the TPU generalization of the reference's implicit routing
+(it always ran the kernel you named; SURVEY.md §7.3 makes kernel choice
+an inspector decision).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpusparse as ts
+from tpusparse.kernels.tiled_spmm import grouped_spmm_pallas
+from tpusparse.ops import _route_spmm
+from tpusparse.plan import build_plan, group_plan
+
+
+def _dense_ref(a, b):
+    return np.asarray(a.to_dense()).astype(np.float64) @ np.asarray(b).astype(
+        np.float64
+    )
+
+
+@pytest.mark.parametrize("shape,density", [((64, 96), 0.05), ((128, 64), 0.2)])
+def test_gather_spmm_parity(rng, shape, density):
+    a = ts.random_csr(0, shape, density)
+    b = jnp.asarray(rng.normal(size=(shape[1], 48)).astype(np.float32))
+    out = np.asarray(ts.gather_spmm(a, b))
+    np.testing.assert_allclose(out, _dense_ref(a, b), rtol=1e-4, atol=1e-5)
+
+
+def test_gather_spmm_batched(rng):
+    a = ts.random_csr(1, (32, 48), 0.1)
+    b = jnp.asarray(rng.normal(size=(3, 48, 16)).astype(np.float32))
+    out = np.asarray(ts.gather_spmm(a, b))
+    for i in range(3):
+        np.testing.assert_allclose(
+            out[i], _dense_ref(a, b[i]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_gather_spmm_grads(rng):
+    a = ts.random_csr(2, (24, 32), 0.15)
+    b = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+
+    def loss(data, bb):
+        a2 = ts.CSR(data=data, indices=a.indices, indptr=a.indptr, shape=a.shape)
+        return jnp.sum(ts.gather_spmm(a2, bb) ** 2)
+
+    g_data, g_b = jax.grad(loss, argnums=(0, 1))(a.data, b)
+    # numeric check against the dense formulation
+    ad = a.to_dense()
+
+    def dense_loss(dense_a, bb):
+        return jnp.sum((dense_a @ bb) ** 2)
+
+    gd_a, gd_b = jax.grad(dense_loss, argnums=(0, 1))(ad, b)
+    rows = np.repeat(np.arange(24), np.diff(np.asarray(a.indptr)))
+    np.testing.assert_allclose(
+        np.asarray(g_data),
+        np.asarray(gd_a)[rows, np.asarray(a.indices)],
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(gd_b), rtol=1e-4)
+
+
+def test_gather_spmm_under_jit_traced_pattern(rng):
+    """row expansion falls back to the jittable path for traced indptr."""
+    a = ts.random_csr(3, (16, 24), 0.2)
+    b = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+
+    @jax.jit
+    def f(data, indices, indptr, bb):
+        a2 = ts.CSR(data=data, indices=indices, indptr=indptr, shape=(16, 24))
+        return ts.gather_spmm(a2, bb)
+
+    out = np.asarray(
+        f(a.data, jnp.asarray(a.indices), jnp.asarray(a.indptr), b)
+    )
+    np.testing.assert_allclose(out, _dense_ref(a, b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("G", [4, 16])
+def test_grouped_executor_parity(rng, G):
+    a = ts.random_csr(4, (256, 384), 0.01)
+    b = jnp.asarray(rng.normal(size=(384, 128)).astype(np.float32))
+    plan = build_plan(a, blocksize=(8, 8))
+    gp = group_plan(plan, G)
+    bv = gp.pack_values(a.data)
+    out = np.asarray(grouped_spmm_pallas(gp, bv, b))
+    np.testing.assert_allclose(out, _dense_ref(a, b), rtol=1e-4, atol=1e-5)
+    # value pack/unpack roundtrip preserves CSR order
+    np.testing.assert_allclose(np.asarray(gp.unpack_values(bv)), np.asarray(a.data))
+
+
+def test_grouped_plan_cache():
+    a = ts.random_csr(5, (64, 64), 0.05)
+    plan = build_plan(a, blocksize=(8, 8))
+    assert group_plan(plan, 8) is group_plan(plan, 8)
+    assert group_plan(plan, 8) is not group_plan(plan, 4)
+
+
+def test_router_regimes():
+    b = jnp.zeros((4096, 256))
+    ultra = ts.random_csr(0, (4096, 4096), 1e-4)
+    assert _route_spmm(ultra, b, None) == "gather"
+    nearly_dense = ts.random_csr(1, (4096, 4096), 0.05)
+    assert _route_spmm(nearly_dense, b, None) == "dense"
+    rng = np.random.default_rng(2)
+    mask = rng.random((32, 32)) < 0.1
+    blocky = ts.CSR.from_dense(
+        rng.random((4096, 4096), dtype=np.float32)
+        * np.kron(mask, np.ones((128, 128), np.float32))
+    )
+    assert _route_spmm(blocky, b, None) == "tiled"
+
+
+def test_spmm_auto_and_explicit_methods_agree(rng):
+    a = ts.random_csr(6, (64, 80), 0.05)
+    b = jnp.asarray(rng.normal(size=(80, 32)).astype(np.float32))
+    ref = _dense_ref(a, b)
+    for method in ("auto", "gather", "dense", "tiled", "naive", "reference"):
+        out = np.asarray(ts.spmm(a, b, method=method))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5, err_msg=method)

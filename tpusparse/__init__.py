@@ -38,6 +38,7 @@ from tpusparse.ops import (
     transb_mm,
     transab_mm,
     spmm,
+    gather_spmm,
     naive_spmm,
     tiled_spmm,
     sddmm,
@@ -69,6 +70,7 @@ __all__ = [
     "transb_mm",
     "transab_mm",
     "spmm",
+    "gather_spmm",
     "naive_spmm",
     "tiled_spmm",
     "sddmm",

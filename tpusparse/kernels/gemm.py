@@ -95,6 +95,10 @@ def gemm_pallas(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the default scoped-vmem cap is 16MB; v5e has 128MB of VMEM and
+            # large (2048, 1024) tiles with an fp32 accumulator need ~30MB;
+            # >64MB measurably degrades Mosaic pipelining on the executors
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,

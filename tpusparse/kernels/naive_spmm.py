@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusparse.types import CSR
-from tpusparse.utils.config import interpret_mode, round_up
+from tpusparse.utils.config import get_config, interpret_mode, round_up
 
 REDUCTIONS = ("sum", "mean", "max", "min", "mul")
 
@@ -154,6 +154,10 @@ def naive_spmm_pallas(
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # the B column strip (kp, bn) is VMEM-resident across the whole
+            # grid; at k=16384, bn=256 that is 16MB — above the 16MB default
+            # scoped-vmem cap once double buffering is counted
+            vmem_limit_bytes=get_config().vmem_limit_bytes,
         ),
         interpret=interpret_mode(),
     )(

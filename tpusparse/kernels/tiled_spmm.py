@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusparse.plan import Plan
+from tpusparse.plan import GroupedPlan, Plan
 from tpusparse.utils.config import (
     get_config,
     interpret_mode,
@@ -161,6 +161,7 @@ def tiled_spmm_pallas(
         out_shape=jax.ShapeDtypeStruct((nbr * bm, np_), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * plan.num_slots * bm * bk * np_,
@@ -175,6 +176,164 @@ def tiled_spmm_pallas(
         plan.block_cols.reshape(-1),
         plan.nslots,
         block_vals.reshape(nbr, L, bm, bk),
+        b,
+    )
+
+    return out[:m, :n]
+
+
+# -----------------------------------------------------------------------------
+# Grouped executor — low-fill patterns (see plan.GroupedPlan docstring)
+# -----------------------------------------------------------------------------
+
+GROUP_DEPTH = 32  # outstanding B-tile DMAs; small tiles are latency-bound
+
+
+def _grouped_kernel(
+    cols_ref,  # (ng*Lg,) int32, SMEM
+    lrb_ref,  # (ng*Lg,) int32, SMEM
+    nslots_ref,  # (ng,) int32, SMEM
+    vals_ref,  # (1, Lg, bm, bk) VMEM block for this group
+    b_hbm,  # (kp, np) ANY/HBM
+    o_ref,  # (G*bm, bn) VMEM block
+    btile,  # (GROUP_DEPTH, bk, bn) VMEM scratch
+    sem,  # (GROUP_DEPTH,) DMA semaphores
+    *,
+    ell_width: int,
+    bn: int,
+    bm: int,
+    precision,
+):
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    bk = btile.shape[1]
+    nvalid = nslots_ref[g]
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+    def issue(l):
+        col = cols_ref[g * ell_width + l]
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(col * bk, bk), pl.ds(j * bn, bn)],
+            btile.at[l % GROUP_DEPTH],
+            sem.at[l % GROUP_DEPTH],
+        ).start()
+
+    for u in range(GROUP_DEPTH - 1):
+        @pl.when(u < nvalid)
+        def _():
+            issue(u)
+
+    def body(l, carry):
+        @pl.when(l + GROUP_DEPTH - 1 < nvalid)
+        def _():
+            issue(l + GROUP_DEPTH - 1)
+
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(0, bk), pl.ds(0, bn)],  # shape-only descriptor
+            btile.at[l % GROUP_DEPTH],
+            sem.at[l % GROUP_DEPTH],
+        ).wait()
+        contrib = jnp.dot(
+            vals_ref[0, l],
+            btile[l % GROUP_DEPTH],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        row0 = lrb_ref[g * ell_width + l] * bm
+        o_ref[pl.ds(row0, bm), :] += contrib.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nvalid, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "out_dtype", "precision"),
+)
+def grouped_spmm_pallas(
+    gplan: GroupedPlan,
+    block_vals: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_n: int | None = None,
+    out_dtype=None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """C = A @ B for a GroupedPlan — the low-fill executor.
+
+    block_vals: (gplan.num_slots, bm, bk) from gplan.pack_values(csr.data).
+    """
+    m, k = gplan.shape
+    bm, bk = gplan.blocksize
+    G = gplan.group_size
+    if b.ndim != 2 or b.shape[0] != k:
+        raise ValueError(f"b shape {b.shape} incompatible with plan k={k}")
+    n = b.shape[1]
+    cfg = get_config()
+    out_dtype = out_dtype or jnp.result_type(block_vals.dtype, b.dtype)
+
+    bn = min(block_n or cfg.spmm_block_n, round_up(n, 128))
+    kp = gplan.num_col_blocks * bk
+    np_ = round_up(n, bn)
+    if (kp, np_) != b.shape:
+        b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+
+    ng = gplan.num_groups
+    Lg = gplan.ell_width
+    grid = (ng, np_ // bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, Lg, bm, bk),
+                lambda g, j, *refs: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (G * bm, bn),
+            lambda g, j, *refs: (g, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP_DEPTH, bk, bn), b.dtype),
+            pltpu.SemaphoreType.DMA((GROUP_DEPTH,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _grouped_kernel,
+            ell_width=Lg,
+            bn=bn,
+            bm=bm,
+            precision=matmul_precision(precision),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng * G * bm, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * gplan.num_slots * bm * bk * np_,
+            bytes_accessed=(
+                gplan.num_slots * bm * bk
+                + gplan.nblocks * bk * np_
+                + ng * G * bm * np_
+            )
+            * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(
+        gplan.block_cols.reshape(-1),
+        gplan.local_rb.reshape(-1),
+        gplan.nslots,
+        block_vals.reshape(ng, Lg, bm, bk),
         b,
     )
 

@@ -226,6 +226,59 @@ def _naive_spmm_bwd(shape, res, g):
 _naive_spmm.defvjp(_naive_spmm_fwd, _naive_spmm_bwd)
 
 
+# ----------------------------------------------------------------------------
+# Gather SpMM — pure-XLA take/scatter-add, the low-fill performance path.
+# On patterns with ~1 nnz per occupied block, any block-executor pays a
+# whole (bk, n) B-tile fetch per nonzero; XLA's fused row gather +
+# scatter-add moves exactly nnz·n elements and runs at HBM bandwidth
+# (measured 5x faster than the Pallas block executors at 5e-5 density on
+# v5e). This is the idiomatic TPU answer to the reference's warp-per-row
+# kernel regime, so 'auto' routes low-fill patterns here.
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_spmm(shape, coo_arrays, b):
+    data, indices, rows = coo_arrays
+    contrib = jnp.take(b, indices, axis=0) * data[:, None]
+    out_dtype = jnp.promote_types(data.dtype, b.dtype)
+    return (
+        jnp.zeros((shape[0], b.shape[1]), out_dtype).at[rows].add(contrib)
+    )
+
+
+def _gather_spmm_fwd(shape, coo_arrays, b):
+    return _gather_spmm(shape, coo_arrays, b), (coo_arrays, b)
+
+
+def _gather_spmm_bwd(shape, res, g):
+    (data, indices, rows), b = res
+    # dA[t] = g[row_t, :] · b[col_t, :] (pattern-restricted, like SDDMM)
+    d_data = jnp.einsum(
+        "nc,nc->n", g[rows], b[indices], precision=jax.lax.Precision.HIGHEST
+    ).astype(data.dtype)
+    db = jnp.zeros_like(b).at[indices].add(data[:, None] * g[rows])
+    i0 = np.zeros(indices.shape, dtype=jax.dtypes.float0)
+    r0 = np.zeros(rows.shape, dtype=jax.dtypes.float0)
+    return (d_data, i0, r0), db
+
+
+_gather_spmm.defvjp(_gather_spmm_fwd, _gather_spmm_bwd)
+
+
+def gather_spmm(a: CSR, b: jnp.ndarray) -> jnp.ndarray:
+    """XLA gather/scatter-add SpMM (differentiable; low-fill perf path)."""
+    if b.ndim == 3:
+        return jax.lax.map(lambda bb: gather_spmm(a, bb), b)
+    try:  # concrete pattern: expand rows once on host, a trace constant
+        rows = np.repeat(
+            np.arange(a.shape[0], dtype=np.int32), np.diff(np.asarray(a.indptr))
+        )
+    except Exception:  # traced indptr
+        rows = a.row_ids()
+    return _gather_spmm(a.shape, (a.data, a.indices, rows), b)
+
+
 def ell_pack_traced(a: CSR):
     """Jit-compatible ELL packing with width = static max row nnz.
 
@@ -328,6 +381,69 @@ def sddmm(
 # ----------------------------------------------------------------------------
 
 
+_ROUTE_CACHE = {}
+
+# Cost-model constants, fitted on TPU v5e measurements (n=256, 16384²):
+# gather moves one ~1KB random B row per nonzero at ~80 GB/s effective;
+# the tiled executor pays ~120ns of loop/DMA/MXU critical path per slot
+# plus its B-tile gather traffic at ~600 GB/s; dense runs the MXU at the
+# roofline constants. See _cal sweeps recorded in BENCH_DETAILS.json.
+_GATHER_ROW_BW = 80e9
+_TILED_SLOT_OVERHEAD = 120e-9
+_TILED_BW = 600e9
+
+
+def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) -> str:
+    """Pick the kernel for method='auto' from a host-side cost model.
+
+    The inspector's core decision (SURVEY.md §7.3), generalized to three
+    regimes: the MXU tiled executor pays per *occupied block* (a (bk, n)
+    B-tile gather + a dense MXU pass each), the XLA row-gather path pays
+    per *nonzero* (one random B row each), and the dense matmul pays for
+    *every* block but at full MXU/HBM streaming rates. Each candidate's
+    time is projected from pattern stats and the cheapest wins. Routes to
+    'tiled' when the pattern is traced (no host stats).
+    """
+    from tpusparse.plan import _ROOFLINE
+    from tpusparse.utils.config import get_config
+
+    cfg = get_config()
+    try:
+        indptr = np.asarray(a.indptr)
+        indices = np.asarray(a.indices)
+    except Exception:  # traced pattern: only the plan path supports it
+        return "tiled"
+    m, k = a.shape
+    bm, bk = blocksize or (cfg.spmm_block_m, cfg.spmm_block_k)
+    n = int(b.shape[-1])
+    key = (_fingerprint(a.shape, (bm, bk), indptr, indices), n)
+    hit = _ROUTE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    per_row = np.diff(indptr)
+    rows = np.repeat(np.arange(m, dtype=np.int64), per_row)
+    nbc = (k + bk - 1) // bk
+    nblocks = int(np.unique((rows // bm) * nbc + indices // bk).size)
+    nnz = int(indices.shape[0])
+
+    t_gather = nnz * n * 8.0 / _GATHER_ROW_BW
+    tiled_bytes = (nblocks * bk * n + nblocks * bm * bk + m * n * 2) * 4.0
+    t_tiled = max(
+        tiled_bytes / _TILED_BW,
+        nblocks * _TILED_SLOT_OVERHEAD * max(n // 512, 1),
+    )
+    t_dense = max(
+        2.0 * m * k * n / _ROOFLINE["peak_fp32_flops"],
+        (m * k + k * n + m * n) * 4.0 / _ROOFLINE["hbm_bandwidth"],
+    )
+    method = min(
+        (t_tiled, "tiled"), (t_gather, "gather"), (t_dense, "dense")
+    )[1]
+    _ROUTE_CACHE[key] = method
+    return method
+
+
 def spmm(
     a: CSR,
     b: jnp.ndarray,
@@ -337,21 +453,33 @@ def spmm(
 ) -> jnp.ndarray:
     """Sparse × dense matmul with method dispatch.
 
-    methods: 'tiled' (inspector-executor Pallas, the perf path), 'naive'
-    (gather Pallas), 'reference' (pure-XLA segment ops), 'auto' (tiled for
-    sum, reference for other reducers). Batched 3-D b maps over the shared
-    pattern. Analog of sparse_matmul routing (matmuls.py:189-235) minus its
-    quirks (the reference routes the 3-D cusparse path through the naive
-    kernel, matmuls.py:224).
+    methods: 'tiled' (inspector-executor Pallas, the MXU perf path),
+    'gather' (XLA take/scatter-add, the low-fill perf path), 'dense'
+    (densify + MXU matmul, the near-full regime), 'naive' (gather Pallas
+    kernel, reference-parity path with reducer modes), 'reference'
+    (pure-XLA segment ops), 'auto' (inspector cost model picks
+    gather/tiled/dense; reference for non-sum reducers). Batched 3-D b
+    maps over the shared pattern.
+    Analog of sparse_matmul routing (matmuls.py:189-235) minus its quirks
+    (the reference routes the 3-D cusparse path through the naive kernel,
+    matmuls.py:224).
     """
     if reduce != "sum" and method in ("auto", "reference"):
         if b.ndim == 3:
             return jax.lax.map(lambda bb: spmm_reference(a, bb, reduce=reduce), b)
         return spmm_reference(a, b, reduce=reduce)
     if method == "auto":
-        method = "tiled"
+        method = _route_spmm(a, b, blocksize)
     if method == "tiled":
         return tiled_spmm(a, b, blocksize=blocksize)
+    if method == "gather":
+        return gather_spmm(a, b)
+    if method == "dense":
+        # densify and ride the MXU — the right call when nearly every
+        # block is occupied (the reference's torch.matmul fallback regime)
+        if b.ndim == 3:
+            return jax.lax.map(lambda bb: dense.matmul(a.to_dense(), bb), b)
+        return dense.matmul(a.to_dense(), b)
     if method == "naive":
         return naive_spmm(a, b, reduce=reduce)
     if method == "reference":

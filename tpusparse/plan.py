@@ -324,6 +324,146 @@ def build_plan_pair(pattern: CSR, blocksize: Optional[Shape2] = None):
     return plan, plan_t, t_perm.astype(np.int32)
 
 
+# -- grouped plan (low-fill executor) -----------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class GroupedPlan:
+    """Plan repacked so one kernel cell owns `group_size` row-blocks.
+
+    On low-fill patterns (~1 nnz per occupied block) the per-row-block
+    executor spends its time on grid-cell overhead: each cell has too few
+    slots to fill its DMA ring, so every cell serializes on HBM gather
+    latency. Grouping concatenates the ELL slots of G consecutive
+    row-blocks into one stream — the analog of the reference assigning
+    1024 rows to one thread-block (sparse_mm.cu:163-187) — so hundreds of
+    B-tile fetches stay in flight across one cell. `local_rb` records
+    which row-block of the group each slot accumulates into.
+    """
+
+    block_cols: jnp.ndarray  # (ngroups, Lg) int32: col-block per slot
+    local_rb: jnp.ndarray  # (ngroups, Lg) int32: row-block within group
+    nslots: jnp.ndarray  # (ngroups,) int32: valid slots per group
+    scatter_idx: jnp.ndarray  # (nnz,) int64: csr nnz -> flat grouped vals idx
+    shape: Shape2
+    blocksize: Shape2
+    group_size: int
+    ell_width: int  # Lg
+    nnz: int
+    nblocks: int
+
+    def tree_flatten(self):
+        children = (self.block_cols, self.local_rb, self.nslots, self.scatter_idx)
+        aux = (
+            self.shape,
+            self.blocksize,
+            self.group_size,
+            self.ell_width,
+            self.nnz,
+            self.nblocks,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        block_cols, local_rb, nslots, scatter_idx = children
+        shape, blocksize, group_size, ell_width, nnz, nblocks = aux
+        return cls(
+            block_cols=block_cols,
+            local_rb=local_rb,
+            nslots=nslots,
+            scatter_idx=scatter_idx,
+            shape=shape,
+            blocksize=blocksize,
+            group_size=group_size,
+            ell_width=ell_width,
+            nnz=nnz,
+            nblocks=nblocks,
+        )
+
+    @property
+    def num_groups(self) -> int:
+        return cdiv(cdiv(self.shape[0], self.blocksize[0]), self.group_size)
+
+    @property
+    def num_col_blocks(self) -> int:
+        return cdiv(self.shape[1], self.blocksize[1])
+
+    @property
+    def num_slots(self) -> int:
+        return self.num_groups * self.ell_width
+
+    def pack_values(self, data: jnp.ndarray) -> jnp.ndarray:
+        bm, bk = self.blocksize
+        flat = jnp.zeros((self.num_slots * bm * bk,), dtype=data.dtype)
+        flat = flat.at[self.scatter_idx].set(data)
+        return flat.reshape(self.num_slots, bm, bk)
+
+    def unpack_values(self, block_vals: jnp.ndarray) -> jnp.ndarray:
+        return block_vals.reshape(-1)[self.scatter_idx]
+
+
+def group_plan(plan: Plan, group_size: int = 64) -> GroupedPlan:
+    """Repack a row-block Plan into a GroupedPlan (host-side, cached)."""
+    fp = hashlib.sha1(
+        np.asarray(plan.block_cols).tobytes()
+        + np.asarray(plan.nslots).tobytes()
+        + repr((plan.shape, plan.blocksize)).encode()
+    ).hexdigest()
+    gkey = (fp, group_size)
+    hit = _GROUPED_CACHE.get(gkey)
+    if hit is not None:
+        return hit
+
+    bc = np.asarray(plan.block_cols)
+    ns = np.asarray(plan.nslots)
+    nbr, L = bc.shape
+    G = group_size
+    ng = cdiv(nbr, G)
+    bm, bk = plan.blocksize
+
+    valid = np.arange(L)[None, :] < ns[:, None]
+    rb_ids, l_ids = np.nonzero(valid)  # row-block-major order
+    g_ids = rb_ids // G
+    counts = np.bincount(g_ids, minlength=ng)
+    Lg = int(max(counts.max(initial=0), 1))
+    offsets = np.zeros(ng + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    pos = np.arange(len(g_ids), dtype=np.int64) - offsets[g_ids]
+
+    gcols = np.zeros((ng, Lg), dtype=np.int32)
+    glrb = np.zeros((ng, Lg), dtype=np.int32)
+    gcols[g_ids, pos] = bc[rb_ids, l_ids]
+    glrb[g_ids, pos] = (rb_ids % G).astype(np.int32)
+
+    # remap nnz scatter destinations: old slot rb*L+l -> new slot g*Lg+pos
+    old_slot = rb_ids * np.int64(L) + l_ids
+    o2n = np.zeros(nbr * L, dtype=np.int64)
+    o2n[old_slot] = g_ids * np.int64(Lg) + pos
+    bb = bm * bk
+    old_scatter = np.asarray(plan.scatter_idx, dtype=np.int64)
+    scatter_idx = o2n[old_scatter // bb] * bb + old_scatter % bb
+
+    gp = GroupedPlan(
+        block_cols=gcols,
+        local_rb=glrb,
+        nslots=counts.astype(np.int32),
+        scatter_idx=scatter_idx,
+        shape=plan.shape,
+        blocksize=plan.blocksize,
+        group_size=G,
+        ell_width=Lg,
+        nnz=plan.nnz,
+        nblocks=plan.nblocks,
+    )
+    _GROUPED_CACHE[gkey] = gp
+    return gp
+
+
+_GROUPED_CACHE: Dict[Tuple[str, int], "GroupedPlan"] = {}
+
+
 # -- plan cache ---------------------------------------------------------------
 
 _PLAN_CACHE: Dict[str, Plan] = {}
