@@ -133,3 +133,79 @@ def test_profiler_trace_writes(tmp_path):
     for root, _, files in os.walk(logdir):
         found += files
     assert found, "profiler trace produced no files"
+
+
+# -- debug / validation layer (reference Utilities.cuh + check_equal analog) --
+
+def test_validate_csr_catches_malformed():
+    from tpusparse.utils.debug import validate_csr
+
+    good = ts.random_csr(0, (8, 12), 0.3)
+    validate_csr(good)  # no raise
+
+    bad_idx = ts.CSR(
+        data=good.data,
+        indices=np.full_like(np.asarray(good.indices), 99),
+        indptr=np.asarray(good.indptr),
+        shape=good.shape,
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        validate_csr(bad_idx)
+
+    ip = np.asarray(good.indptr).copy()
+    ip[-1] += 1
+    with pytest.raises(ValueError, match="nnz"):
+        validate_csr(
+            ts.CSR(good.data, np.asarray(good.indices), ip, good.shape)
+        )
+
+
+def test_checkify_check_csr_inside_jit():
+    from tpusparse.utils.debug import check_csr, checked
+
+    a = ts.random_csr(1, (8, 12), 0.3)
+
+    @checked
+    @jax.jit
+    def f(data, indices, indptr):
+        a2 = ts.CSR(data=data, indices=indices, indptr=indptr, shape=(8, 12))
+        check_csr(a2)
+        return ts.spmm_reference(a2, jnp.ones((12, 4)))
+
+    f(a.data, jnp.asarray(a.indices), jnp.asarray(a.indptr))  # passes
+
+    bad = jnp.full_like(jnp.asarray(a.indices), 99)
+    with pytest.raises(Exception, match="out of range"):
+        f(a.data, bad, jnp.asarray(a.indptr))
+
+
+def test_debug_checks_config_flag():
+    from tpusparse.utils.config import set_config
+
+    a = ts.random_csr(2, (8, 12), 0.3)
+    bad = ts.CSR(
+        data=a.data,
+        indices=np.full_like(np.asarray(a.indices), 99),
+        indptr=np.asarray(a.indptr),
+        shape=a.shape,
+    )
+    set_config(debug_checks=True)
+    try:
+        with pytest.raises(ValueError, match="out of range"):
+            ts.spmm(bad, jnp.ones((12, 4)), method="reference")
+    finally:
+        set_config(debug_checks=False)
+
+
+def test_compare_report():
+    from tpusparse.utils.debug import compare_report
+
+    e = np.array([[1.0, 2.0], [0.0, 4.0]])
+    rep = compare_report(e, e)
+    assert rep["allclose"] == 1.0 and rep["mismatches"] == 0
+    a = e.copy()
+    a[0, 0] = 9.0
+    rep = compare_report(e, a)
+    assert rep["allclose"] == 0.0 and rep["mismatches"] == 1
+    assert rep["max_abs_err"] == pytest.approx(8.0)
+    assert compare_report(e, np.zeros((3, 3)))["shape_mismatch"] == 1.0

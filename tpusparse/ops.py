@@ -464,6 +464,12 @@ def spmm(
     (the reference routes the 3-D cusparse path through the naive kernel,
     matmuls.py:224).
     """
+    from tpusparse.utils.config import get_config
+
+    if get_config().debug_checks:
+        from tpusparse.utils.debug import validate_csr
+
+        validate_csr(a)
     if reduce != "sum" and method in ("auto", "reference"):
         if b.ndim == 3:
             return jax.lax.map(lambda bb: spmm_reference(a, bb, reduce=reduce), b)

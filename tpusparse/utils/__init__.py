@@ -37,3 +37,12 @@ __all__ += [
     "kernel_report",
     "measured_roofline",
 ]
+
+from tpusparse.utils.debug import (
+    validate_csr,
+    check_csr,
+    checked,
+    compare_report,
+)
+
+__all__ += ["validate_csr", "check_csr", "checked", "compare_report"]

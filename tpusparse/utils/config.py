@@ -42,6 +42,10 @@ class Config:
     # VMEM budget per kernel instance (bytes); analog of the reference's
     # 96KB shared-memory BUFFSIZE but sized for TPU VMEM (~16MB less headroom).
     vmem_limit_bytes: int = 64 * 1024 * 1024
+    # Debug mode: ops validate sparse operand structure per call (host
+    # side) — the analog of the reference's always-on status-code guards
+    # (Utilities.cuh); off by default for zero dispatch overhead.
+    debug_checks: bool = False
     # Force Pallas interpreter mode (None = auto: interpret on CPU backend).
     interpret: Optional[bool] = None
     # Default matmul precision for fp32 parity with the reference's
