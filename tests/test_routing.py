@@ -89,7 +89,8 @@ def test_grouped_executor_parity(rng, G):
     gp = group_plan(plan, G)
     bv = gp.pack_values(a.data)
     out = np.asarray(grouped_spmm_pallas(gp, bv, b))
-    np.testing.assert_allclose(out, _dense_ref(a, b), rtol=1e-4, atol=1e-5)
+    # 3-pass bf16 accumulation noise: ~1e-6 relative per product term
+    np.testing.assert_allclose(out, _dense_ref(a, b), rtol=1e-4, atol=5e-5)
     # value pack/unpack roundtrip preserves CSR order
     np.testing.assert_allclose(np.asarray(gp.unpack_values(bv)), np.asarray(a.data))
 
@@ -123,3 +124,43 @@ def test_spmm_auto_and_explicit_methods_agree(rng):
     for method in ("auto", "gather", "dense", "tiled", "naive", "reference"):
         out = np.asarray(ts.spmm(a, b, method=method))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5, err_msg=method)
+
+
+def test_compact_executor_parity(rng):
+    from tpusparse.kernels.tiled_spmm import compact_spmm_pallas
+    from tpusparse.plan import compact_plan
+
+    a = ts.random_csr(8, (256, 384), 0.02)
+    b = jnp.asarray(rng.normal(size=(384, 128)).astype(np.float32))
+    cp = compact_plan(build_plan(a, blocksize=(8, 64)))
+    bv = cp.pack_values(a.data)
+    out = np.asarray(compact_spmm_pallas(cp, bv, b))
+    np.testing.assert_allclose(out, _dense_ref(a, b), rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(cp.unpack_values(bv)), np.asarray(a.data))
+
+
+def test_mxu_bf16x3_fidelity(rng):
+    """The manual 3-pass decomposition must be ~fp32-fidelity, far tighter
+    than single-pass bf16."""
+    from tpusparse.kernels import mxu
+
+    a = jnp.asarray(rng.normal(size=(64, 512)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+    exact = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    scale = np.abs(exact).max()
+
+    err3 = np.abs(np.asarray(mxu.dot(a, b, "bf16x3")) - exact).max() / scale
+    assert err3 < 1e-5, err3
+    if jax.default_backend() == "tpu":
+        # on TPU, DEFAULT is single-pass bf16 — bf16x3 must be far tighter
+        # (on CPU, DEFAULT is true fp32, so no such relation holds)
+        err1 = (
+            np.abs(
+                np.asarray(mxu.dot(a, b, jax.lax.Precision.DEFAULT)) - exact
+            ).max()
+            / scale
+        )
+        assert err3 < err1 / 20, (err3, err1)
+    # dot_nt agrees with dot on transposed operand
+    nt = np.asarray(mxu.dot_nt(a, jnp.swapaxes(b, 0, 1), "bf16x3"))
+    np.testing.assert_allclose(nt, np.asarray(mxu.dot(a, b, "bf16x3")), rtol=1e-6)

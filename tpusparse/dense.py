@@ -34,6 +34,33 @@ def _precision():
     return _PRECISION[get_config().precision]
 
 
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """jnp.matmul honoring the configured precision.
+
+    'high' uses a manual 3-pass bf16 decomposition (hi/lo split with
+    round-to-nearest) rather than lax.Precision.HIGH: measured ~1.3e-6
+    max rel err vs HIGH's ~1e-5 at the same 3-matmul cost, which keeps
+    fp32 results inside the reference's torch.allclose rtol=1e-5.
+    """
+    if (
+        get_config().precision == "high"
+        and a.dtype == jnp.float32
+        and b.dtype == jnp.float32
+        and jax.default_backend() == "tpu"  # CPU matmul is native fp32
+    ):
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32)
+        return (
+            jnp.matmul(a_hi, b_hi, **kw)
+            + jnp.matmul(a_hi, b_lo, **kw)
+            + jnp.matmul(a_lo, b_hi, **kw)
+        )
+    return jnp.matmul(a, b, precision=_precision())
+
+
 def matmul(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -49,7 +76,7 @@ def matmul(
     """
     if a.ndim == 1 or b.ndim == 1:
         # Reference falls back to torch matmul for vectors (matmuls.py:39-41).
-        return jnp.matmul(a, b, precision=_precision())
+        return _mm(a, b)
 
     if transa:
         a = jnp.swapaxes(a, -1, -2)
@@ -60,12 +87,12 @@ def matmul(
         cfg = get_config()
         if use_pallas or (use_pallas is None and cfg.use_pallas_gemm):
             return gemm_pallas(a, b)
-        return jnp.matmul(a, b, precision=_precision())
+        return _mm(a, b)
 
     # Mixed-rank: broadcast like jnp.matmul. The reference flattens 3-D×2-D
     # to one big 2-D GEMM (matmuls.py:43-47) — XLA does the same fusion from
     # this expression without explicit reshapes.
-    return jnp.matmul(a, b, precision=_precision())
+    return _mm(a, b)
 
 
 def bmm(

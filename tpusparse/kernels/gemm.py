@@ -18,10 +18,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels import mxu
 from tpusparse.utils.config import (
     get_config,
     interpret_mode,
-    matmul_precision,
+    pallas_precision,
     round_up,
 )
 
@@ -31,12 +32,7 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int, precision):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(
-        a_ref[:],
-        b_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    acc_ref[:] += mxu.dot(a_ref[:], b_ref[:], precision)
 
     @pl.when(pl.program_id(2) == nk - 1)
     def _():
@@ -82,7 +78,7 @@ def gemm_pallas(
     grid = (mp // bm, np_ // bn, nk)
 
     out = pl.pallas_call(
-        functools.partial(_gemm_kernel, nk=nk, precision=matmul_precision(precision)),
+        functools.partial(_gemm_kernel, nk=nk, precision=pallas_precision(precision)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, s: (i, s), memory_space=pltpu.VMEM),

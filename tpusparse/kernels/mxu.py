@@ -1,0 +1,68 @@
+"""MXU dot helper shared by the Pallas kernels.
+
+fp32 operands on the TPU MXU run as bf16 passes. XLA exposes
+DEFAULT (1 pass), HIGH (3 passes) and HIGHEST (6 passes), but Mosaic
+(Pallas) only lowers DEFAULT and HIGHEST — so the 3-pass mode, which
+already reaches fp32-class fidelity (~7e-7 max rel err at k=16384,
+measured) at ~1.5x the speed of HIGHEST, is implemented here manually:
+split each operand into a bf16 hi part and a bf16 lo remainder and
+accumulate a_hi·b_hi + a_hi·b_lo + a_lo·b_hi in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_bf16(x: jnp.ndarray):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:
+    """a @ b with fp32 accumulation, honoring the framework precision.
+
+    `precision` is a resolved value from config.pallas_precision:
+    'bf16x3' (manual 3-pass), or a lax.Precision for DEFAULT/HIGHEST.
+    """
+    if precision == "bf16x3":
+        if a.dtype != jnp.float32 or b.dtype != jnp.float32:
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        acc = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+        acc += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+        return acc
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+_NT_DIMS = (((1,), (1,)), ((), ()))
+
+
+def dot_nt(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:
+    """a @ bᵀ (contraction on the last axis of both) with fp32 accumulation."""
+    if precision == "bf16x3":
+        if a.dtype != jnp.float32 or b.dtype != jnp.float32:
+            return jax.lax.dot_general(
+                a, b, _NT_DIMS, preferred_element_type=jnp.float32
+            )
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        acc = jax.lax.dot_general(
+            a_hi, b_hi, _NT_DIMS, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            a_hi, b_lo, _NT_DIMS, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            a_lo, b_hi, _NT_DIMS, preferred_element_type=jnp.float32
+        )
+        return acc
+    return jax.lax.dot_general(
+        a, b, _NT_DIMS, preferred_element_type=jnp.float32, precision=precision
+    )

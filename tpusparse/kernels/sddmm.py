@@ -21,11 +21,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels import mxu
 from tpusparse.plan import Plan
 from tpusparse.utils.config import (
     get_config,
     interpret_mode,
-    matmul_precision,
+    pallas_precision,
     round_up,
 )
 
@@ -41,13 +42,7 @@ def _sddmm_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        dc_ref[:],
-        b_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    acc_ref[:] += mxu.dot_nt(dc_ref[:], b_ref[:], precision)
 
     @pl.when(t == nt - 1)
     def _():
@@ -115,7 +110,7 @@ def sddmm_pallas(
     )
 
     return pl.pallas_call(
-        functools.partial(_sddmm_kernel, nt=nt, precision=matmul_precision(precision)),
+        functools.partial(_sddmm_kernel, nt=nt, precision=pallas_precision(precision)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.num_slots, bm, bk), dc.dtype),
         compiler_params=pltpu.CompilerParams(

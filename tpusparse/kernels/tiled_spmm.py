@@ -27,11 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusparse.plan import GroupedPlan, Plan
+from tpusparse.kernels import mxu
+from tpusparse.plan import CompactPlan, GroupedPlan, Plan
 from tpusparse.utils.config import (
     get_config,
     interpret_mode,
-    matmul_precision,
+    pallas_precision,
     round_up,
 )
 
@@ -80,12 +81,7 @@ def _executor_kernel(
             btile.at[l % DEPTH],
             sem.at[l % DEPTH],
         ).wait()
-        return acc + jnp.dot(
-            vals_ref[0, l],
-            btile[l % DEPTH],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        return acc + mxu.dot(vals_ref[0, l], btile[l % DEPTH], precision)
 
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     acc = jax.lax.fori_loop(0, nvalid, body, acc)
@@ -155,7 +151,7 @@ def tiled_spmm_pallas(
             _executor_kernel,
             ell_width=L,
             bn=bn,
-            precision=matmul_precision(precision),
+            precision=pallas_precision(precision),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr * bm, np_), out_dtype),
@@ -176,6 +172,153 @@ def tiled_spmm_pallas(
         plan.block_cols.reshape(-1),
         plan.nslots,
         block_vals.reshape(nbr, L, bm, bk),
+        b,
+    )
+
+    return out[:m, :n]
+
+
+# -----------------------------------------------------------------------------
+# Compact executor — padding-free vals stream (see plan.CompactPlan docstring):
+# both the slot's value block and its B tile ride the manual DMA ring, so HBM
+# traffic is exactly occupied-blocks × (bm·bk + bk·bn) + C.
+# -----------------------------------------------------------------------------
+
+
+def _compact_kernel(
+    cols_ref,  # (nblocks,) int32, SMEM
+    base_ref,  # (nbr + 1,) int32, SMEM
+    vals_hbm,  # (nblocks, bm, bk) ANY/HBM
+    b_hbm,  # (kp, np) ANY/HBM
+    o_ref,  # (bm, bn) VMEM block
+    btile,  # (DEPTH, bk, bn) VMEM scratch
+    vtile,  # (DEPTH, bm, bk) VMEM scratch
+    bsem,
+    vsem,
+    *,
+    bn: int,
+    precision,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bk = btile.shape[1]
+    base = base_ref[i]
+    nvalid = base_ref[i + 1] - base
+
+    def issue(l):
+        slot = base + l
+        col = cols_ref[slot]
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(col * bk, bk), pl.ds(j * bn, bn)],
+            btile.at[l % DEPTH],
+            bsem.at[l % DEPTH],
+        ).start()
+        pltpu.make_async_copy(
+            vals_hbm.at[slot], vtile.at[l % DEPTH], vsem.at[l % DEPTH]
+        ).start()
+
+    for u in range(DEPTH - 1):
+        @pl.when(u < nvalid)
+        def _():
+            issue(u)
+
+    def body(l, acc):
+        @pl.when(l + DEPTH - 1 < nvalid)
+        def _():
+            issue(l + DEPTH - 1)
+
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(0, bk), pl.ds(0, bn)],  # shape-only descriptor
+            btile.at[l % DEPTH],
+            bsem.at[l % DEPTH],
+        ).wait()
+        pltpu.make_async_copy(
+            vals_hbm.at[0], vtile.at[l % DEPTH], vsem.at[l % DEPTH]
+        ).wait()
+        return acc + mxu.dot(vtile[l % DEPTH], btile[l % DEPTH], precision)
+
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    acc = jax.lax.fori_loop(0, nvalid, body, acc)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "out_dtype", "precision"),
+)
+def compact_spmm_pallas(
+    cplan: CompactPlan,
+    block_vals: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_n: int | None = None,
+    out_dtype=None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """C = A @ B for a CompactPlan (padding-free tiled executor).
+
+    block_vals: (cplan.nblocks, bm, bk) from cplan.pack_values(csr.data).
+    """
+    m, k = cplan.shape
+    bm, bk = cplan.blocksize
+    if b.ndim != 2 or b.shape[0] != k:
+        raise ValueError(f"b shape {b.shape} incompatible with plan k={k}")
+    n = b.shape[1]
+    cfg = get_config()
+    out_dtype = out_dtype or jnp.result_type(block_vals.dtype, b.dtype)
+
+    bn = min(block_n or cfg.spmm_block_n, round_up(n, 128))
+    kp = cplan.num_col_blocks * bk
+    np_ = round_up(n, bn)
+    if (kp, np_) != b.shape:
+        b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+
+    nbr = cplan.num_row_blocks
+    grid = (nbr, np_ // bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn),
+            lambda i, j, *refs: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, bk, bn), b.dtype),
+            pltpu.VMEM((DEPTH, bm, bk), block_vals.dtype),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _compact_kernel, bn=bn, precision=pallas_precision(precision)
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * bm, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cplan.nblocks * bm * bk * np_,
+            bytes_accessed=(
+                cplan.nblocks * bm * bk + cplan.nblocks * bk * np_ + nbr * bm * np_
+            )
+            * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(
+        cplan.cols,
+        cplan.row_base,
+        block_vals,
         b,
     )
 
@@ -233,12 +376,7 @@ def _grouped_kernel(
             btile.at[l % GROUP_DEPTH],
             sem.at[l % GROUP_DEPTH],
         ).wait()
-        contrib = jnp.dot(
-            vals_ref[0, l],
-            btile[l % GROUP_DEPTH],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        contrib = mxu.dot(vals_ref[0, l], btile[l % GROUP_DEPTH], precision)
         row0 = lrb_ref[g * ell_width + l] * bm
         o_ref[pl.ds(row0, bm), :] += contrib.astype(o_ref.dtype)
         return carry
@@ -310,7 +448,7 @@ def grouped_spmm_pallas(
             ell_width=Lg,
             bn=bn,
             bm=bm,
-            precision=matmul_precision(precision),
+            precision=pallas_precision(precision),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ng * G * bm, np_), out_dtype),

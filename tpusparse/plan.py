@@ -324,6 +324,113 @@ def build_plan_pair(pattern: CSR, blocksize: Optional[Shape2] = None):
     return plan, plan_t, t_perm.astype(np.int32)
 
 
+# -- compact plan (padding-free executor layout) -------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class CompactPlan:
+    """Padding-free slot layout: slots stored contiguously per row-block.
+
+    The ELL layout DMAs a full (L, bm, bk) value block per row-block
+    through the grid pipeline — including pad slots (on skewed patterns
+    the pad traffic approaches the useful traffic; L=25 vs mean 13 on the
+    headline workload). Here values live compactly in HBM as
+    (nblocks, bm, bk); the executor scalar-prefetches per-row-block base
+    offsets and DMAs each slot's value block through the same manual ring
+    as its B tile, so only occupied blocks ever move.
+    """
+
+    cols: jnp.ndarray  # (nblocks,) int32: col-block id per slot
+    row_base: jnp.ndarray  # (nbr + 1,) int32: slot range per row-block
+    scatter_idx: jnp.ndarray  # (nnz,) int64: csr nnz -> flat compact vals idx
+    shape: Shape2
+    blocksize: Shape2
+    nnz: int
+    nblocks: int
+
+    def tree_flatten(self):
+        children = (self.cols, self.row_base, self.scatter_idx)
+        aux = (self.shape, self.blocksize, self.nnz, self.nblocks)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cols, row_base, scatter_idx = children
+        shape, blocksize, nnz, nblocks = aux
+        return cls(
+            cols=cols,
+            row_base=row_base,
+            scatter_idx=scatter_idx,
+            shape=shape,
+            blocksize=blocksize,
+            nnz=nnz,
+            nblocks=nblocks,
+        )
+
+    @property
+    def num_row_blocks(self) -> int:
+        return cdiv(self.shape[0], self.blocksize[0])
+
+    @property
+    def num_col_blocks(self) -> int:
+        return cdiv(self.shape[1], self.blocksize[1])
+
+    def pack_values(self, data: jnp.ndarray) -> jnp.ndarray:
+        bm, bk = self.blocksize
+        flat = jnp.zeros((self.nblocks * bm * bk,), dtype=data.dtype)
+        flat = flat.at[self.scatter_idx].set(data)
+        return flat.reshape(self.nblocks, bm, bk)
+
+    def unpack_values(self, block_vals: jnp.ndarray) -> jnp.ndarray:
+        return block_vals.reshape(-1)[self.scatter_idx]
+
+
+def compact_plan(plan: Plan) -> CompactPlan:
+    """Derive the padding-free layout from an ELL Plan (host, cached)."""
+    fp = hashlib.sha1(
+        np.asarray(plan.block_cols).tobytes()
+        + np.asarray(plan.nslots).tobytes()
+        + repr((plan.shape, plan.blocksize, "compact")).encode()
+    ).hexdigest()
+    hit = _COMPACT_CACHE.get(fp)
+    if hit is not None:
+        return hit
+
+    bc = np.asarray(plan.block_cols)
+    ns = np.asarray(plan.nslots).astype(np.int64)
+    nbr, L = bc.shape
+    bm, bk = plan.blocksize
+
+    row_base = np.zeros(nbr + 1, dtype=np.int64)
+    np.cumsum(ns, out=row_base[1:])
+    valid = np.arange(L)[None, :] < ns[:, None]
+    rb_ids, l_ids = np.nonzero(valid)
+    cols = bc[rb_ids, l_ids].astype(np.int32)
+
+    old_slot = rb_ids * np.int64(L) + l_ids
+    o2n = np.zeros(nbr * L, dtype=np.int64)
+    o2n[old_slot] = row_base[rb_ids] + l_ids
+    bb = bm * bk
+    old_scatter = np.asarray(plan.scatter_idx, dtype=np.int64)
+    scatter_idx = o2n[old_scatter // bb] * bb + old_scatter % bb
+
+    cp = CompactPlan(
+        cols=cols,
+        row_base=row_base.astype(np.int32),
+        scatter_idx=scatter_idx,
+        shape=plan.shape,
+        blocksize=plan.blocksize,
+        nnz=plan.nnz,
+        nblocks=int(ns.sum()),
+    )
+    _COMPACT_CACHE[fp] = cp
+    return cp
+
+
+_COMPACT_CACHE: Dict[str, "CompactPlan"] = {}
+
+
 # -- grouped plan (low-fill executor) -----------------------------------------
 
 

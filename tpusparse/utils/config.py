@@ -49,8 +49,10 @@ class Config:
     # Force Pallas interpreter mode (None = auto: interpret on CPU backend).
     interpret: Optional[bool] = None
     # Default matmul precision for fp32 parity with the reference's
-    # torch.allclose tolerances (fp32 cuBLAS); "highest" = 3-pass bf16 MXU.
-    precision: str = "highest"
+    # torch.allclose tolerances (fp32 cuBLAS): "high" = 3-pass bf16 MXU
+    # (~7e-7 max rel err, passes allclose rtol=1e-5), "highest" = 6-pass,
+    # "default" = single-pass bf16 (fast path for perf runs).
+    precision: str = "high"
 
 
 _config = Config()
@@ -69,16 +71,33 @@ def set_config(**kwargs) -> Config:
 
 
 def matmul_precision(override: Optional[str] = None):
-    """Resolve the configured fp32 matmul precision to a lax.Precision.
+    """Resolve the configured fp32 matmul precision to a lax.Precision
+    (for XLA paths — dot_general/einsum).
 
-    'highest' runs fp32 operands as multi-pass bf16 on the MXU so results
-    hit the reference's torch.allclose tolerances (SURVEY.md §7.3 numerics);
-    'default' is single-pass bf16 (fast path for perf runs).
+    'highest' = 6-pass bf16 (bitwise closest to fp32), 'high' = 3-pass
+    (fp32-class fidelity, ~1.5x faster), 'default' = single-pass bf16.
     """
     name = override or _config.precision
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+def pallas_precision(override: Optional[str] = None):
+    """Resolve precision for Pallas kernels (Mosaic lowers DEFAULT and
+    HIGHEST only; 'high' maps to the manual 3-pass decomposition in
+    kernels/mxu.py, measured at ~7e-7 max rel err and ~1.5x the speed of
+    HIGHEST on the tiled executor). On non-TPU backends (interpret mode)
+    dots are native fp32, so 'high' maps to HIGHEST — the bf16 split
+    would only add error there."""
+    name = override or _config.precision
+    if name == "high" and jax.default_backend() != "tpu":
+        name = "highest"
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": "bf16x3",
         "default": jax.lax.Precision.DEFAULT,
     }[name]
 
