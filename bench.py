@@ -38,7 +38,14 @@ def main():
     def norm(y):
         return y / (1.0 + jnp.abs(y).max())
 
+    from tpusparse.dense import matmul as ts_dense_matmul
+
     def run_pair(a, n, blocksize, key=1):
+        """Matched-precision comparison: both sides run the framework's
+        3-pass bf16 fp32 mode (~1e-6 rel err, the torch fp32 fidelity
+        class) — the sparse kernel is never graded against a dense
+        baseline running at a different pass count. Interleaved
+        median-of-3 to ride out chip-tenancy noise."""
         k = a.shape[1]
         b0 = jax.random.uniform(jax.random.PRNGKey(key), (k, n))
         plan = build_plan(a, blocksize=blocksize)
@@ -47,14 +54,18 @@ def main():
 
         def dense_step(x):
             A, b = x
-            return A, norm(jnp.matmul(A, b, precision=jax.lax.Precision.HIGHEST))
+            return A, norm(ts_dense_matmul(A, b))
 
         def sparse_step(x):
             bv_, b = x
             return bv_, norm(tiled_spmm_pallas(plan, bv_, b))
 
-        t_dense = device_time_per_iter(dense_step, (a_dense, b0))
-        t_sparse = device_time_per_iter(sparse_step, (bv, b0))
+        td, tsparse = [], []
+        for _ in range(3):
+            td.append(device_time_per_iter(dense_step, (a_dense, b0)))
+            tsparse.append(device_time_per_iter(sparse_step, (bv, b0)))
+        t_dense = float(np.median(td))
+        t_sparse = float(np.median(tsparse))
         out = np.asarray(tiled_spmm_pallas(plan, bv, b0))
         ref = np.asarray(
             jnp.matmul(a_dense, b0, precision=jax.lax.Precision.HIGHEST)
@@ -102,7 +113,7 @@ def main():
 
     def u_dense_step(x):
         A, bb = x
-        return A, norm(jnp.matmul(A, bb, precision=jax.lax.Precision.HIGHEST))
+        return A, norm(ts_dense_matmul(A, bb))  # matched 3-pass fp32 mode
 
     def u_auto_step(x):
         vals, bb = x
