@@ -18,7 +18,7 @@ import json
 from common import base_parser, get_logger, log_and_print, setup_platform
 
 
-def bench_layer(seq, batch, seed):
+def bench_layer(seq, batch, seed, attention="dense", window=64):
     import jax
     import jax.numpy as jnp
     import optax
@@ -26,7 +26,7 @@ def bench_layer(seq, batch, seed):
     from tpusparse.models import BertAttentionLayer
     from tpusparse.utils.timing import device_time_per_iter, normalizing
 
-    layer = BertAttentionLayer()
+    layer = BertAttentionLayer(attention=attention, window=window)
     x = jax.random.normal(jax.random.PRNGKey(seed), (batch, seq, 768))
     params = layer.init(jax.random.PRNGKey(seed + 1), x)
 
@@ -53,7 +53,8 @@ def bench_layer(seq, batch, seed):
         device_time_per_iter(train_step, (params, opt_state, x), iters_lo=2, iters_hi=8)
         * 1e3
     )
-    return {"seq": seq, "batch": batch, "fwd_ms": fwd_ms, "train_step_ms": step_ms}
+    return {"seq": seq, "batch": batch, "attention": attention,
+            "fwd_ms": fwd_ms, "train_step_ms": step_ms}
 
 
 def main():
@@ -67,13 +68,14 @@ def main():
     batch = args.batch if args.full else 2
     results = []
     for seq in seqs:
-        r = bench_layer(seq, batch, args.seed)
-        results.append(r)
-        log_and_print(
-            logger,
-            f"seq {seq} batch {batch}: fwd {r['fwd_ms']:.3f} ms, "
-            f"train step {r['train_step_ms']:.3f} ms",
-        )
+        for attention in ("dense", "sparse"):
+            r = bench_layer(seq, batch, args.seed, attention=attention)
+            results.append(r)
+            log_and_print(
+                logger,
+                f"seq {seq} batch {batch} [{attention}]: fwd {r['fwd_ms']:.3f} ms, "
+                f"train step {r['train_step_ms']:.3f} ms",
+            )
     with open("bert_attention_results.json", "w") as f:
         json.dump(results, f, indent=2)
 

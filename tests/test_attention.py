@@ -1,0 +1,95 @@
+"""Tests for sparse attention, the BERT encoder stack, and SpMV.
+
+Sparse attention's oracle is the dense attention layer with the same
+pattern applied as a -inf mask — identical math, so parity is exact up
+to accumulation order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpusparse as ts
+from tpusparse.models import BertAttentionLayer, BertEncoder
+from tpusparse.nn import (
+    SelfAttention,
+    SparseSelfAttention,
+    local_global_pattern,
+)
+
+
+def test_local_global_pattern_structure():
+    indices, indptr = local_global_pattern(16, 2, num_global=2)
+    dense = np.zeros((16, 16), bool)
+    rows = np.repeat(np.arange(16), np.diff(indptr))
+    dense[rows, indices] = True
+    for i in range(16):
+        for j in range(16):
+            want = abs(i - j) <= 2 or j < 2 or i < 2
+            assert dense[i, j] == want, (i, j)
+
+
+def test_sparse_attention_matches_masked_dense(rng):
+    x = jnp.asarray(rng.normal(size=(2, 32, 48)).astype(np.float32))
+    layer = SparseSelfAttention(num_heads=4, head_dim=12, window=4, num_global=2)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+
+    indices, indptr = local_global_pattern(32, 4, 2)
+    mask = np.zeros((32, 32), bool)
+    mask[np.repeat(np.arange(32), np.diff(indptr)), indices] = True
+    dense = SelfAttention(num_heads=4, head_dim=12)
+    ref = dense.apply(params, x, jnp.asarray(mask)[None, None])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sparse_attention_trains(rng):
+    x = jnp.asarray(rng.normal(size=(2, 16, 24)).astype(np.float32))
+    layer = SparseSelfAttention(num_heads=2, head_dim=12, window=3)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p: jnp.sum(layer.apply(p, x) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(bool(jnp.isfinite(l).all()) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+@pytest.mark.parametrize("attention", ["dense", "sparse"])
+def test_bert_attention_layer_variants(rng, attention):
+    x = jnp.asarray(rng.normal(size=(2, 16, 48)).astype(np.float32))
+    layer = BertAttentionLayer(
+        hidden=48, num_heads=4, intermediate=96, attention=attention, window=3
+    )
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_bert_encoder_forward_and_grad(rng):
+    enc = BertEncoder(
+        num_layers=2,
+        hidden=32,
+        num_heads=4,
+        intermediate=64,
+        vocab_size=100,
+        max_position=16,
+    )
+    ids = jnp.asarray(rng.integers(0, 100, size=(2, 16)).astype(np.int32))
+    params = enc.init(jax.random.PRNGKey(0), ids)
+    out = enc.apply(params, ids)
+    assert out.shape == (2, 16, 32)
+    g = jax.grad(lambda p: jnp.sum(enc.apply(p, ids) ** 2))(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_spmv_all_methods(rng):
+    a = ts.random_csr(0, (64, 80), 0.05)
+    v = jnp.asarray(rng.normal(size=(80,)).astype(np.float32))
+    ref = np.asarray(a.to_dense()).astype(np.float64) @ np.asarray(v, np.float64)
+    for method in ("auto", "gather", "tiled", "naive", "reference", "dense"):
+        out = np.asarray(ts.spmm(a, v, method=method))
+        assert out.shape == (64,)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5, err_msg=method)

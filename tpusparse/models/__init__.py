@@ -1,4 +1,4 @@
 from tpusparse.models.mlp import MnistNet, train_step, make_train_state
-from tpusparse.models.bert import BertAttentionLayer
+from tpusparse.models.bert import BertAttentionLayer, BertEncoder
 
-__all__ = ["MnistNet", "train_step", "make_train_state", "BertAttentionLayer"]
+__all__ = ["MnistNet", "train_step", "make_train_state", "BertAttentionLayer", "BertEncoder"]

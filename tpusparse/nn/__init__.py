@@ -1,4 +1,15 @@
 from tpusparse.nn.layers import DenseLinear, SparseLinear, Pattern
-from tpusparse.nn.attention import SelfAttention
+from tpusparse.nn.attention import (
+    SelfAttention,
+    SparseSelfAttention,
+    local_global_pattern,
+)
 
-__all__ = ["DenseLinear", "SparseLinear", "Pattern", "SelfAttention"]
+__all__ = [
+    "DenseLinear",
+    "SparseLinear",
+    "Pattern",
+    "SelfAttention",
+    "SparseSelfAttention",
+    "local_global_pattern",
+]

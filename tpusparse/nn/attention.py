@@ -13,7 +13,7 @@ BERT") but never ships.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -22,6 +22,85 @@ import numpy as np
 
 from tpusparse import ops
 from tpusparse.nn.layers import DenseLinear
+
+
+def local_global_pattern(
+    seq: int, window: int, num_global: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Static (seq, seq) attention pattern: local band + global tokens.
+
+    Row i may attend to keys j with |i-j| <= window, to the first
+    `num_global` keys, and rows < num_global attend everywhere (the
+    standard local+global sparse-attention shape). Returns CSR
+    (indices, indptr) as host numpy — a trace-time constant.
+    """
+    i = np.arange(seq)[:, None]
+    j = np.arange(seq)[None, :]
+    allowed = np.abs(i - j) <= window
+    if num_global:
+        allowed |= j < num_global
+        allowed |= i < num_global
+    indptr = np.zeros(seq + 1, dtype=np.int32)
+    np.cumsum(allowed.sum(axis=1), out=indptr[1:])
+    indices = np.nonzero(allowed)[1].astype(np.int32)
+    return indices, indptr
+
+
+class SparseSelfAttention(nn.Module):
+    """Multi-head self-attention with block-sparse attention scores.
+
+    The capability the reference's README gestures at (sparse kernels
+    "incorporated into BERT", README.md:61-80) but never ships: the
+    (seq, seq) score matrix is never materialized. Per head:
+    scores = SDDMM(pattern, Q, Kᵀ) produces only the allowed entries,
+    a segment softmax normalizes each row over its nonzeros, and
+    context = SpMM(probs, V) on the gather path. All three stages carry
+    their own VJPs, so the layer trains end-to-end. Compute/memory scale
+    with nnz = O(seq·window) instead of seq².
+    """
+
+    num_heads: int
+    head_dim: int
+    window: int = 64
+    num_global: int = 0
+
+    @nn.compact
+    def __call__(self, hidden):
+        from tpusparse.types import CSR
+
+        b, s, h = hidden.shape
+        d = self.num_heads * self.head_dim
+        q = DenseLinear(d, name="query")(hidden)
+        k = DenseLinear(d, name="key")(hidden)
+        v = DenseLinear(d, name="value")(hidden)
+
+        def split(x):
+            return x.reshape(b, s, self.num_heads, self.head_dim).transpose(
+                0, 2, 1, 3
+            ).reshape(b * self.num_heads, s, self.head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        indices, indptr = local_global_pattern(s, self.window, self.num_global)
+        rows = np.repeat(np.arange(s, dtype=np.int32), np.diff(indptr))
+        scale = 1.0 / np.sqrt(self.head_dim)
+
+        def one_head(qh, kh, vh):
+            vals = ops.sddmm(
+                CSR(jnp.zeros(len(indices), qh.dtype), indices, indptr, (s, s)),
+                qh,
+                jnp.swapaxes(kh, 0, 1),
+            ) * scale
+            # segment softmax over each row's nonzeros
+            mx = jax.ops.segment_max(vals, rows, num_segments=s)
+            e = jnp.exp(vals - mx[rows])
+            z = jax.ops.segment_sum(e, rows, num_segments=s)
+            probs = e / z[rows]
+            return ops.gather_spmm(CSR(probs, indices, indptr, (s, s)), vh)
+
+        ctx = jax.vmap(one_head)(q, k, v)  # (b*heads, s, head_dim)
+        ctx = ctx.reshape(b, self.num_heads, s, self.head_dim)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return DenseLinear(h, name="out")(ctx)
 
 
 class SelfAttention(nn.Module):

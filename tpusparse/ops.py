@@ -470,6 +470,9 @@ def spmm(
         from tpusparse.utils.debug import validate_csr
 
         validate_csr(a)
+    if b.ndim == 1:  # SpMV: lift to one-column SpMM (reference matmuls.py:39-41
+        # does the analogous 1-D fallback on the dense path)
+        return spmm(a, b[:, None], method, reduce, blocksize)[..., 0]
     if reduce != "sum" and method in ("auto", "reference"):
         if b.ndim == 3:
             return jax.lax.map(lambda bb: spmm_reference(a, bb, reduce=reduce), b)
