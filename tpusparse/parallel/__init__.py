@@ -21,3 +21,16 @@ __all__ = [
     "make_sharded_train_state",
     "make_sharded_train_step",
 ]
+from tpusparse.parallel.bert import (
+    bert_param_specs,
+    shard_bert_params,
+    make_tp_forward,
+    validate_tp_heads,
+)
+
+__all__ += [
+    "bert_param_specs",
+    "shard_bert_params",
+    "make_tp_forward",
+    "validate_tp_heads",
+]
