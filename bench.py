@@ -44,8 +44,7 @@ def main():
         """Matched-precision comparison: both sides run the framework's
         3-pass bf16 fp32 mode (~1e-6 rel err, the torch fp32 fidelity
         class) — the sparse kernel is never graded against a dense
-        baseline running at a different pass count. Interleaved
-        median-of-3 to ride out chip-tenancy noise."""
+        baseline running at a different pass count."""
         k = a.shape[1]
         b0 = jax.random.uniform(jax.random.PRNGKey(key), (k, n))
         plan = build_plan(a, blocksize=blocksize)
@@ -60,12 +59,10 @@ def main():
             bv_, b = x
             return bv_, norm(tiled_spmm_pallas(plan, bv_, b))
 
-        td, tsparse = [], []
-        for _ in range(3):
-            td.append(device_time_per_iter(dense_step, (a_dense, b0)))
-            tsparse.append(device_time_per_iter(sparse_step, (bv, b0)))
-        t_dense = float(np.median(td))
-        t_sparse = float(np.median(tsparse))
+        # repeats happen inside one compiled program (recompiling the
+        # chained loop per round costs more than the measurement itself)
+        t_dense = device_time_per_iter(dense_step, (a_dense, b0), repeats=5)
+        t_sparse = device_time_per_iter(sparse_step, (bv, b0), repeats=5)
         out = np.asarray(tiled_spmm_pallas(plan, bv, b0))
         ref = np.asarray(
             jnp.matmul(a_dense, b0, precision=jax.lax.Precision.HIGHEST)
@@ -173,6 +170,26 @@ def main():
     details["bert_attn_fwd_seq512_ms"] = (
         device_time_per_iter(attn_step, hx, iters_lo=2, iters_hi=10) * 1e3
     )
+
+    # ---- detail: long-seq banded attention (blockwise local vs dense) -------
+    from tpusparse.nn import LocalAttention, SelfAttention
+
+    seq = 4096
+    xl = jax.random.normal(jax.random.PRNGKey(5), (1, seq, 768))
+    loc = LocalAttention(num_heads=12, head_dim=64, window=128)
+    dn = SelfAttention(num_heads=12, head_dim=64)
+    aparams = loc.init(jax.random.PRNGKey(6), xl)
+    t_loc = device_time_per_iter(
+        lambda v: norm(loc.apply(aparams, v)), xl, iters_lo=2, iters_hi=6
+    )
+    t_dn = device_time_per_iter(
+        lambda v: norm(dn.apply(aparams, v)), xl, iters_lo=1, iters_hi=3
+    )
+    details["local_attention_seq4096"] = {
+        "local_ms": t_loc * 1e3,
+        "dense_ms": t_dn * 1e3,
+        "speedup": t_dn / t_loc,
+    }
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -93,3 +93,36 @@ def test_spmv_all_methods(rng):
         out = np.asarray(ts.spmm(a, v, method=method))
         assert out.shape == (64,)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5, err_msg=method)
+
+
+def test_local_attention_matches_masked_dense(rng):
+    from tpusparse.nn import LocalAttention
+
+    b, s, h, hd, w = 2, 64, 4, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, s, h * hd)).astype(np.float32))
+    loc = LocalAttention(num_heads=h, head_dim=hd, window=w)
+    params = loc.init(jax.random.PRNGKey(0), x)
+    out = loc.apply(params, x)
+    i = np.arange(s)[:, None]
+    j = np.arange(s)[None, :]
+    mask = jnp.asarray(np.abs(i - j) <= w)[None, None]
+    ref = SelfAttention(num_heads=h, head_dim=hd).apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_local_attention_seq_must_divide():
+    from tpusparse.nn import LocalAttention
+
+    layer = LocalAttention(num_heads=2, head_dim=4, window=16)
+    with pytest.raises(ValueError, match="multiple"):
+        layer.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 8)))
+
+
+def test_bert_layer_local_variant(rng):
+    x = jnp.asarray(rng.normal(size=(2, 32, 48)).astype(np.float32))
+    layer = BertAttentionLayer(
+        hidden=48, num_heads=4, intermediate=96, attention="local", window=8
+    )
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())

@@ -164,3 +164,35 @@ def test_mxu_bf16x3_fidelity(rng):
     # dot_nt agrees with dot on transposed operand
     nt = np.asarray(mxu.dot_nt(a, jnp.swapaxes(b, 0, 1), "bf16x3"))
     np.testing.assert_allclose(nt, np.asarray(mxu.dot(a, b, "bf16x3")), rtol=1e-6)
+
+
+def test_random_powerlaw_csr_skew():
+    a = ts.random_powerlaw_csr(0, (512, 512), avg_nnz_per_row=8.0)
+    deg = np.diff(np.asarray(a.indptr))
+    assert deg.min() >= 1
+    assert 4.0 <= deg.mean() <= 12.0
+    assert deg.max() > 5 * deg.mean()  # genuinely skewed
+    # structurally valid
+    from tpusparse.utils.debug import validate_csr
+
+    validate_csr(a)
+
+
+def test_spmm_powerlaw_all_methods(rng):
+    a = ts.random_powerlaw_csr(1, (128, 160), avg_nnz_per_row=4.0)
+    b = jnp.asarray(rng.normal(size=(160, 32)).astype(np.float32))
+    ref = _dense_ref(a, b)
+    for method in ("auto", "gather", "tiled", "reference"):
+        out = np.asarray(ts.spmm(a, b, method=method))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-5, err_msg=method)
+
+
+def test_spmm_accepts_bsr(rng):
+    dense = np.zeros((64, 96), np.float32)
+    dense[0:8, 0:16] = rng.normal(size=(8, 16))
+    dense[32:40, 80:96] = rng.normal(size=(8, 16))
+    bsr = ts.BSR.from_dense(dense, blocksize=(8, 16))
+    b = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+    out = np.asarray(ts.spmm(bsr, b, method="tiled"))
+    ref = dense.astype(np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-5)

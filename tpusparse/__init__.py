@@ -26,6 +26,7 @@ from tpusparse.types import (
     bsr_to_csr,
     random_csr,
     random_coo,
+    random_powerlaw_csr,
     spmm_reference,
     sddmm_reference,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "bsr_to_csr",
     "random_csr",
     "random_coo",
+    "random_powerlaw_csr",
     "spmm_reference",
     "sddmm_reference",
     "dense",

@@ -61,6 +61,30 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, precision=_precision())
 
 
+def einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two-operand einsum honoring the configured precision ('high' uses
+    the same manual 3-pass bf16 decomposition as _mm)."""
+    if (
+        get_config().precision == "high"
+        and a.dtype == jnp.float32
+        and b.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32)
+        return (
+            jnp.einsum(spec, a_hi, b_hi, **kw)
+            + jnp.einsum(spec, a_hi, b_lo, **kw)
+            + jnp.einsum(spec, a_lo, b_hi, **kw)
+        )
+    return jnp.einsum(
+        spec, a, b, precision=_precision(), preferred_element_type=jnp.float32
+    )
+
+
 def matmul(
     a: jnp.ndarray,
     b: jnp.ndarray,

@@ -2,6 +2,7 @@ from tpusparse.nn.layers import DenseLinear, SparseLinear, Pattern
 from tpusparse.nn.attention import (
     SelfAttention,
     SparseSelfAttention,
+    LocalAttention,
     local_global_pattern,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "Pattern",
     "SelfAttention",
     "SparseSelfAttention",
+    "LocalAttention",
     "local_global_pattern",
 ]

@@ -103,6 +103,74 @@ class SparseSelfAttention(nn.Module):
         return DenseLinear(h, name="out")(ctx)
 
 
+class LocalAttention(nn.Module):
+    """Banded (sliding-window) attention computed blockwise on the MXU.
+
+    The SDDMM path (SparseSelfAttention) is the general-pattern engine;
+    for the banded pattern |i-j| <= window — the dominant sparse-attention
+    shape — per-nonzero gathers are the wrong grain for TPU. Here queries
+    are split into window-sized blocks and each block attends densely to
+    its own and both neighbor key blocks (3·window keys), masked back to
+    the exact band: compute scales as seq·3·window·d instead of seq²·d
+    and every product is an MXU-shaped dense matmul. Numerically
+    identical to dense attention masked to the band.
+    """
+
+    num_heads: int
+    head_dim: int
+    window: int = 128
+
+    @nn.compact
+    def __call__(self, hidden):
+        b, s, h = hidden.shape
+        d = self.num_heads * self.head_dim
+        B = self.window
+        if s % B != 0:
+            raise ValueError(f"seq {s} must be a multiple of window {B}")
+        nb = s // B
+        q = DenseLinear(d, name="query")(hidden)
+        k = DenseLinear(d, name="key")(hidden)
+        v = DenseLinear(d, name="value")(hidden)
+
+        def split(x):  # (b, s, d) -> (b, heads, nb, B, hd)
+            x = x.reshape(b, s, self.num_heads, self.head_dim)
+            return x.transpose(0, 2, 1, 3).reshape(
+                b, self.num_heads, nb, B, self.head_dim
+            )
+
+        q, k, v = split(q), split(k), split(v)
+
+        def extend(x):  # neighbor blocks: (..., nb, 3B, hd)
+            pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+            return jnp.concatenate(
+                [pad[:, :, :-2], pad[:, :, 1:-1], pad[:, :, 2:]], axis=3
+            )
+
+        k_ext, v_ext = extend(k), extend(v)
+        from tpusparse.dense import einsum as precise_einsum
+
+        scores = precise_einsum("bhnqd,bhnkd->bhnqk", q, k_ext) / np.sqrt(
+            self.head_dim
+        )
+
+        # mask to the exact band. key j sits at (n-1)·B + kj, query i at
+        # n·B + qi, so i-j = qi - kj + B — block-independent; boundary
+        # blocks additionally mask keys outside [0, s)
+        qi = np.arange(B)[:, None]
+        kj = np.arange(3 * B)[None, :]
+        band = np.abs(qi - kj + B) <= B  # (B, 3B) static
+        n_idx = jnp.arange(nb)[:, None, None]
+        key_pos = (n_idx - 1) * B + kj[None]
+        in_range = (key_pos >= 0) & (key_pos < s)
+        mask = jnp.asarray(band)[None] & in_range  # (nb, B, 3B)
+        scores = jnp.where(mask[None, None], scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = precise_einsum("bhnqk,bhnkd->bhnqd", probs, v_ext)
+        ctx = ctx.reshape(b, self.num_heads, s, self.head_dim)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return DenseLinear(h, name="out")(ctx)
+
+
 class SelfAttention(nn.Module):
     """BERT-style multi-head self-attention.
 

@@ -356,6 +356,40 @@ def random_csr(key, shape: Shape2, density: float, dtype=jnp.float32) -> CSR:
     return coo_to_csr(random_coo(key, shape, density, dtype))
 
 
+def random_powerlaw_csr(
+    key, shape: Shape2, avg_nnz_per_row: float, alpha: float = 1.5,
+    dtype=jnp.float32,
+) -> CSR:
+    """Skewed (SuiteSparse-like) pattern: Zipf-distributed row degrees.
+
+    Real sparse matrices (graphs, FEM meshes) are not uniformly random —
+    a few heavy rows dominate, which is exactly what breaks fixed-width
+    ELL padding (SURVEY.md §7.3 "variable nnz per row"). Row i's degree
+    ∝ (i+1)^(-alpha) shuffled, scaled to the requested mean, capped at
+    n; column picks are uniform without replacement per row.
+    """
+    m, n = _static_shape(shape)
+    seed = int(key) if isinstance(key, int) else int(
+        jax.random.randint(key, (), 0, 2**31 - 1)
+    )
+    rng = np.random.default_rng(seed)
+    raw = (np.arange(1, m + 1, dtype=np.float64)) ** (-alpha)
+    rng.shuffle(raw)
+    deg = np.maximum(1, np.round(raw * (avg_nnz_per_row * m / raw.sum()))).astype(
+        np.int64
+    )
+    deg = np.minimum(deg, n)
+    indptr = np.zeros(m + 1, dtype=np.int32)
+    np.cumsum(deg, out=indptr[1:])
+    indices = np.concatenate(
+        [np.sort(rng.choice(n, size=int(d), replace=False)) for d in deg]
+    ).astype(np.int32)
+    data = jnp.asarray(
+        rng.random(int(indptr[-1])).astype(np.dtype(dtype))
+    )
+    return CSR(data=data, indices=indices, indptr=indptr, shape=(m, n))
+
+
 # ----------------------------------------------------------------------------
 # Pure-jnp reference ops (the oracle everything else is tested against)
 # ----------------------------------------------------------------------------
