@@ -109,3 +109,54 @@ def test_validate_tp_heads_raises():
     mesh = make_mesh((1, 8), ("data", "model"))
     with pytest.raises(ValueError, match="divide"):
         validate_tp_heads(12, mesh)
+
+
+def test_ring_local_attention_matches_unsharded(rng):
+    from tpusparse.nn.attention import LocalAttention  # oracle core below
+    from tpusparse.parallel.attention import ring_local_attention
+
+    b, h, s, hd, w = 2, 4, 512, 16, 32
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, hd)).astype(np.float32))
+        for _ in range(3)
+    )
+    mesh = make_mesh((8,), ("seq",))
+    out = ring_local_attention(q, k, v, w, mesh, axis="seq")
+
+    scores = np.einsum(
+        "bhqd,bhkd->bhqk", np.asarray(q, np.float64), np.asarray(k, np.float64)
+    ) / np.sqrt(hd)
+    i = np.arange(s)[:, None]
+    j = np.arange(s)[None, :]
+    scores = np.where(np.abs(i - j) <= w, scores, -1e9)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v, np.float64))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_local_attention_shape_validation(rng):
+    from tpusparse.parallel.attention import ring_local_attention
+
+    mesh = make_mesh((8,), ("seq",))
+    q = jnp.zeros((1, 2, 100, 8))
+    with pytest.raises(ValueError, match="divide"):
+        ring_local_attention(q, q, q, 16, mesh, axis="seq")
+
+
+def test_ring_local_attention_grads(rng):
+    from tpusparse.parallel.attention import ring_local_attention
+
+    b, h, s, hd, w = 1, 2, 256, 8, 32
+    mesh = make_mesh((8,), ("seq",))
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, hd)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss(q_, k_, v_):
+        return jnp.sum(ring_local_attention(q_, k_, v_, w, mesh, axis="seq") ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert all(bool(jnp.isfinite(x).all()) for x in g)
+    assert all(float(jnp.abs(x).max()) > 0 for x in g)

@@ -34,3 +34,6 @@ __all__ += [
     "make_tp_forward",
     "validate_tp_heads",
 ]
+from tpusparse.parallel.attention import ring_local_attention
+
+__all__ += ["ring_local_attention"]

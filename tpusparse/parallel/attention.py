@@ -1,0 +1,114 @@
+"""Sequence-parallel banded attention: shard_map + ppermute halo ring.
+
+Long-context capability (SURVEY.md §5.7 — absent in the single-GPU
+reference; this is the TPU-native design it sketches): the sequence axis
+is sharded over the mesh, and because banded attention only needs each
+query block's ±1 neighbor key/value blocks, the cross-shard dependency is
+exactly one window-sized block per direction. Each device `ppermute`s its
+first K/V block to its left neighbor and its last to its right neighbor
+(one ICI hop each), then runs the same blockwise dense-MXU band kernel as
+tpusparse.nn.LocalAttention on its local blocks. Compute and memory per
+device are O(s/P · window · d); communication is O(window · d).
+
+Numerically identical to the unsharded LocalAttention (same masks,
+positions computed globally from the shard index).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpusparse.parallel.mesh import shard_map
+
+
+def _banded_blocks(q, k_pad, v_pad, window: int, block0_pos, s_total: int):
+    """Blockwise band attention given padded K/V (nbl+2 blocks).
+
+    q: (b, h, nbl, B, hd); k_pad/v_pad: (b, h, nbl+2, B, hd) where
+    block 0 is the left halo and block nbl+1 the right halo.
+    block0_pos: global block index of q's first block (traced scalar).
+    """
+    B = window
+    nbl = q.shape[2]
+    k_ext = jnp.concatenate(
+        [k_pad[:, :, :-2], k_pad[:, :, 1:-1], k_pad[:, :, 2:]], axis=3
+    )
+    v_ext = jnp.concatenate(
+        [v_pad[:, :, :-2], v_pad[:, :, 1:-1], v_pad[:, :, 2:]], axis=3
+    )
+    from tpusparse.dense import einsum as precise_einsum
+
+    scores = precise_einsum("bhnqd,bhnkd->bhnqk", q, k_ext) / np.sqrt(
+        q.shape[-1]
+    )
+    qi = np.arange(B)[:, None]
+    kj = np.arange(3 * B)[None, :]
+    band = jnp.asarray(np.abs(qi - kj + B) <= B)  # (B, 3B), block-independent
+    n_idx = block0_pos + jnp.arange(nbl)[:, None, None]
+    key_pos = (n_idx - 1) * B + kj[None]
+    in_range = (key_pos >= 0) & (key_pos < s_total)
+    mask = band[None] & in_range
+    scores = jnp.where(mask[None, None], scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return precise_einsum("bhnqk,bhnkd->bhnqd", probs, v_ext)
+
+
+def ring_local_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window: int,
+    mesh: Mesh,
+    axis: str = "seq",
+) -> jnp.ndarray:
+    """Banded attention with the sequence axis sharded over `axis`.
+
+    q/k/v: (batch, heads, seq, head_dim) global arrays; seq must divide
+    into window-sized blocks distributed evenly over the axis. Returns
+    the (batch, heads, seq, head_dim) context, sharded the same way.
+    """
+    b, h, s, hd = q.shape
+    B = window
+    nshards = mesh.shape[axis]
+    if s % (B * nshards) != 0:
+        raise ValueError(
+            f"seq {s} must divide into window {B} blocks over {nshards} shards"
+        )
+    nb_local = s // B // nshards
+    perm_fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+    perm_bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+
+    def body(qs, ks, vs):
+        # local shapes: (b, h, s_local, hd)
+        idx = lax.axis_index(axis)
+        def blocks(x):
+            return x.reshape(b, h, nb_local, B, hd)
+
+        qb, kb, vb = blocks(qs), blocks(ks), blocks(vs)
+        # halo exchange: my last block -> right neighbor's left halo,
+        # my first block -> left neighbor's right halo (one ICI hop each).
+        # Wrapped blocks at the ring boundary carry wrong positions and
+        # are masked out by the global in_range test.
+        k_left = lax.ppermute(kb[:, :, -1], axis, perm_fwd)
+        v_left = lax.ppermute(vb[:, :, -1], axis, perm_fwd)
+        k_right = lax.ppermute(kb[:, :, 0], axis, perm_bwd)
+        v_right = lax.ppermute(vb[:, :, 0], axis, perm_bwd)
+        k_pad = jnp.concatenate(
+            [k_left[:, :, None], kb, k_right[:, :, None]], axis=2
+        )
+        v_pad = jnp.concatenate(
+            [v_left[:, :, None], vb, v_right[:, :, None]], axis=2
+        )
+        ctx = _banded_blocks(qb, k_pad, v_pad, B, idx * nb_local, s)
+        return ctx.reshape(b, h, nb_local * B, hd)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None),) * 3,
+        out_specs=P(None, None, axis, None),
+    )(q, k, v)
