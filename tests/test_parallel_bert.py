@@ -160,3 +160,62 @@ def test_ring_local_attention_grads(rng):
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     assert all(bool(jnp.isfinite(x).all()) for x in g)
     assert all(float(jnp.abs(x).max()) > 0 for x in g)
+
+
+def test_pipeline_apply_matches_sequential(rng):
+    import tpusparse as ts
+    from tpusparse.parallel.pipeline import pipeline_apply
+
+    S, d, batch, M = 8, 16, 32, 4
+    mesh = make_mesh((8,), ("stage",))
+    Ws = jnp.asarray(rng.normal(size=(S, d, d)).astype(np.float32) / np.sqrt(d))
+    bs = jnp.asarray(rng.normal(size=(S, d)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
+
+    def stage_fn(p, h):
+        W, b = p
+        return jax.nn.relu(ts.mm(h, W) + b)
+
+    out = pipeline_apply(stage_fn, (Ws, bs), x, mesh, num_microbatches=M)
+    ref = x
+    for s in range(S):
+        ref = jax.nn.relu(ts.mm(ref, Ws[s]) + bs[s])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_apply_grads(rng):
+    import tpusparse as ts
+    from tpusparse.parallel.pipeline import pipeline_apply
+
+    S, d, batch = 4, 8, 8
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    Ws = jnp.asarray(rng.normal(size=(S, d, d)).astype(np.float32) / np.sqrt(d))
+    x = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
+
+    def stage_fn(W, h):
+        return jnp.tanh(ts.mm(h, W))
+
+    def loss(Ws_):
+        return jnp.sum(pipeline_apply(stage_fn, Ws_, x, mesh, num_microbatches=2) ** 2)
+
+    g = jax.grad(loss)(Ws)
+    # sequential oracle gradient
+    def seq_loss(Ws_):
+        h = x
+        for s in range(S):
+            h = jnp.tanh(ts.mm(h, Ws_[s]))
+        return jnp.sum(h ** 2)
+
+    g_ref = jax.grad(seq_loss)(Ws)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_batch_must_divide(rng):
+    from tpusparse.parallel.pipeline import pipeline_apply
+
+    mesh = make_mesh((8,), ("stage",))
+    with pytest.raises(ValueError, match="divide"):
+        pipeline_apply(
+            lambda p, h: h, jnp.zeros((8, 1)), jnp.zeros((10, 4)), mesh,
+            num_microbatches=4,
+        )

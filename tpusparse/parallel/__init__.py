@@ -37,3 +37,6 @@ __all__ += [
 from tpusparse.parallel.attention import ring_local_attention
 
 __all__ += ["ring_local_attention"]
+from tpusparse.parallel.pipeline import pipeline_apply
+
+__all__ += ["pipeline_apply"]
