@@ -219,3 +219,38 @@ def test_pipeline_batch_must_divide(rng):
             lambda p, h: h, jnp.zeros((8, 1)), jnp.zeros((10, 4)), mesh,
             num_microbatches=4,
         )
+
+
+def test_moe_expert_parallel_matches_reference(rng):
+    from tpusparse.parallel.moe import (
+        init_moe_params,
+        load_balance_loss,
+        moe_forward,
+        moe_forward_reference,
+    )
+
+    mesh = make_mesh((8,), ("expert",))
+    params = init_moe_params(jax.random.PRNGKey(0), num_experts=8, d_model=16,
+                             d_hidden=32)
+    x = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    ref = moe_forward_reference(params, x)
+    out = moe_forward(params, x, mesh, axis="expert")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    # gradients flow to router and experts; aux loss is finite and ≥ 1
+    def loss(p):
+        return jnp.sum(moe_forward(p, x, mesh) ** 2) + load_balance_loss(p, x)
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+    assert float(jnp.abs(g["router"]).max()) > 0
+    assert float(load_balance_loss(params, x)) >= 1.0 - 1e-3
+
+
+def test_moe_expert_count_must_divide(rng):
+    from tpusparse.parallel.moe import init_moe_params, moe_forward
+
+    mesh = make_mesh((8,), ("expert",))
+    params = init_moe_params(jax.random.PRNGKey(0), 6, 8, 16)
+    with pytest.raises(ValueError, match="divide"):
+        moe_forward(params, jnp.zeros((4, 8)), mesh)

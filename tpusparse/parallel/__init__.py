@@ -40,3 +40,11 @@ __all__ += ["ring_local_attention"]
 from tpusparse.parallel.pipeline import pipeline_apply
 
 __all__ += ["pipeline_apply"]
+from tpusparse.parallel.moe import (
+    init_moe_params,
+    moe_forward,
+    moe_forward_reference,
+    load_balance_loss,
+)
+
+__all__ += ["init_moe_params", "moe_forward", "moe_forward_reference", "load_balance_loss"]
