@@ -19,6 +19,8 @@ from common import base_parser, get_logger, log_and_print, setup_platform
 
 
 def bench_layer(seq, batch, seed, attention="dense", window=64):
+    # 'local' = blockwise banded MXU path; 'sparse' = general-pattern SDDMM
+    # path (slow at these seq lengths; included as the capability check)
     import jax
     import jax.numpy as jnp
     import optax
@@ -68,7 +70,7 @@ def main():
     batch = args.batch if args.full else 2
     results = []
     for seq in seqs:
-        for attention in ("dense", "sparse"):
+        for attention in ("dense", "local", "sparse"):
             r = bench_layer(seq, batch, args.seed, attention=attention)
             results.append(r)
             log_and_print(
