@@ -36,11 +36,17 @@ def evaluate(model, params, x, y, batch=512):
     return correct / len(x)
 
 
-def run_variant(logger, variant, data, epochs, batch_size, hidden, seed):
+def run_variant(logger, variant, data, epochs, batch_size, hidden, seed, eager):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from tpusparse.models.mlp import MnistNet, make_train_state, train_step
+    from tpusparse.models.mlp import (
+        MnistNet,
+        make_train_state,
+        train_epoch,
+        train_step,
+    )
     from tpusparse.utils.data import batches
 
     train_x, train_y, test_x, test_y = data
@@ -49,28 +55,44 @@ def run_variant(logger, variant, data, epochs, batch_size, hidden, seed):
         model, jax.random.PRNGKey(seed), input_shape=(batch_size, 784)
     )
     step = jax.jit(train_step(model, tx))
+    epoch_fn = jax.jit(train_epoch(model, tx))
 
-    # warm the compile outside the timed region
+    # warm the compiles outside the timed region
     wx = jnp.zeros((batch_size, 784), jnp.float32)
     wy = jnp.zeros((batch_size,), jnp.int32)
-    jax.block_until_ready(step(params, opt_state, wx, wy)[2])
+    if eager:
+        jax.block_until_ready(step(params, opt_state, wx, wy)[2])
+    else:
+        jax.block_until_ready(
+            epoch_fn(params, opt_state, wx[None], wy[None])[2]
+        )
 
     for epoch in range(epochs):
         t0 = time.perf_counter()
-        total_loss, n_batches = 0.0, 0
-        for bx, by in batches(train_x, train_y, batch_size, seed=seed + epoch):
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(bx), jnp.asarray(by)
-            )
-            total_loss += float(loss)
-            n_batches += 1
+        if eager:
+            # the reference protocol: one host round trip per batch
+            total_loss, n_batches = 0.0, 0
+            for bx, by in batches(train_x, train_y, batch_size, seed=seed + epoch):
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(bx), jnp.asarray(by)
+                )
+                total_loss += float(loss)
+                n_batches += 1
+            avg_loss = total_loss / max(n_batches, 1)
+        else:
+            # device-side epoch: lax.scan over all batches, one round trip
+            all_b = list(batches(train_x, train_y, batch_size, seed=seed + epoch))
+            sx = jnp.asarray(np.stack([b[0] for b in all_b]))
+            sy = jnp.asarray(np.stack([b[1] for b in all_b]))
+            params, opt_state, losses = epoch_fn(params, opt_state, sx, sy)
+            avg_loss = float(losses.mean())
         jax.block_until_ready(params)
         dt = time.perf_counter() - t0
         acc = evaluate(model, params, test_x, test_y)
         log_and_print(
             logger,
-            f"[{variant}] epoch {epoch}: {dt:.3f}s, "
-            f"avg loss {total_loss / max(n_batches, 1):.4f}, test acc {acc:.4f}",
+            f"[{variant}]{' (eager)' if eager else ''} epoch {epoch}: {dt:.3f}s, "
+            f"avg loss {avg_loss:.4f}, test acc {acc:.4f}",
         )
     return acc
 
@@ -80,6 +102,12 @@ def main():
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--hidden", type=int, default=None)
+    p.add_argument(
+        "--eager",
+        action="store_true",
+        help="per-batch host stepping (the reference protocol); default is a "
+        "device-side lax.scan epoch",
+    )
     args = p.parse_args()
 
     logger = get_logger("mnist", "fc_layer_benchmark.log")
@@ -96,7 +124,8 @@ def main():
     )
     for variant in ("xla", "dense", "sparse"):
         acc = run_variant(
-            logger, variant, data, args.epochs, args.batch_size, hidden, args.seed
+            logger, variant, data, args.epochs, args.batch_size, hidden,
+            args.seed, args.eager,
         )
         assert acc > 0.5, f"{variant} failed to learn (acc {acc})"
 

@@ -138,3 +138,35 @@ def test_attention_parity_vs_plain_jnp(rng):
     ctx = ctx.transpose(0, 2, 1, 3).reshape(2, 8, 16)
     expected = lin("out", ctx)
     np.testing.assert_allclose(np.asarray(y), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+
+def test_train_epoch_scan_matches_stepwise(rng):
+    """Device-side lax.scan epoch must produce the same params as the
+    per-batch step loop."""
+    import optax
+
+    from tpusparse.models.mlp import (
+        MnistNet,
+        make_train_state,
+        train_epoch,
+        train_step,
+    )
+
+    model = MnistNet(variant="dense")
+    params, tx, opt_state = make_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(4, 784)
+    )
+    x = jnp.asarray(rng.normal(size=(3, 4, 784)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, size=(3, 4)).astype(np.int32))
+
+    step = jax.jit(train_step(model, tx))
+    p1, o1 = params, opt_state
+    step_losses = []
+    for i in range(3):
+        p1, o1, l = step(p1, o1, x[i], y[i])
+        step_losses.append(float(l))
+
+    p2, o2, losses = jax.jit(train_epoch(model, tx))(params, opt_state, x, y)
+    np.testing.assert_allclose(np.asarray(losses), step_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

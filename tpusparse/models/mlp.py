@@ -86,3 +86,28 @@ def train_step(model: MnistNet, tx) -> Any:
         return params2, opt_state2, loss
 
     return step
+
+
+def train_epoch(model: MnistNet, tx) -> Any:
+    """Whole-epoch device-side training via lax.scan over stacked batches.
+
+    The reference steps eagerly per batch from Python
+    (mnist_benchmark.py:96-121); on this TPU each host→device round trip
+    costs ~25 ms, so a per-step Python loop measures the tunnel, not the
+    model. Returns a jittable (params, opt_state, images (S, B, 784),
+    labels (S, B)) -> (params, opt_state, losses (S,)).
+    """
+    step = train_step(model, tx)
+
+    def epoch(params, opt_state, images, labels):
+        def body(carry, batch):
+            p, o = carry
+            p, o, loss = step(p, o, batch[0], batch[1])
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (images, labels)
+        )
+        return params, opt_state, losses
+
+    return epoch
