@@ -127,6 +127,21 @@ void ts_inspect_fill(const int32_t* indptr, int64_t m, const int32_t* indices,
   }
 }
 
+// COO -> CSR counting sort (reference TiledSpMM_coo2csr analog,
+// src/sparse_mm.cu:110-134, generalized: produces a stable permutation so
+// unsorted input is handled; the reference assumes row-sorted COO).
+// indptr_out[m+1] and order_out[nnz] (gather indices: csr[i] = coo[order[i]]).
+void ts_coo_to_csr(const int32_t* rows, int64_t nnz, int64_t m,
+                   int32_t* indptr_out, int64_t* order_out) {
+  std::vector<int64_t> counts(static_cast<size_t>(m) + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) ++counts[rows[e] + 1];
+  for (int64_t r = 0; r < m; ++r) counts[r + 1] += counts[r];
+  for (int64_t r = 0; r <= m; ++r)
+    indptr_out[r] = static_cast<int32_t>(counts[r]);
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t e = 0; e < nnz; ++e) order_out[cursor[rows[e]]++] = e;
+}
+
 int ts_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

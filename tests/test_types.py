@@ -162,3 +162,50 @@ def test_pytree_jit_stability():
     csr2 = CSR(csr.data * 2, csr.indices, csr.indptr, csr.shape)
     f(csr2, b)
     assert calls == 1
+
+
+def test_coo_to_csr_unsorted_native_and_xla(rng):
+    """coo_to_csr handles unsorted COO; native and XLA paths agree."""
+    import scipy.sparse as sp
+    import tpusparse as ts
+
+    from tpusparse.runtime import native
+
+    nnz, m, n = 2000, 150, 200
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.random(nnz).astype(np.float32)
+    coo = ts.COO(data=jnp.asarray(vals), row=rows, col=cols, shape=(m, n))
+    csr = ts.coo_to_csr(coo)
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    got = sp.csr_matrix(
+        (np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr)),
+        shape=(m, n),
+    )
+    assert np.abs((got - ref).toarray()).max() < 1e-6
+
+    if native.available():
+        indptr, order = native.coo_to_csr(rows, m)
+        np.testing.assert_array_equal(indptr, np.asarray(csr.indptr))
+        # stability: within a row, original order preserved
+        assert (np.diff(order[indptr[0] : indptr[1]]) > 0).all() or indptr[1] - indptr[0] <= 1
+
+
+def test_plan_save_load_roundtrip(tmp_path, rng):
+    import tpusparse as ts
+
+    from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+    from tpusparse.plan import build_plan, load_plan, save_plan
+
+    a = ts.random_csr(0, (128, 160), 0.05)
+    plan = build_plan(a, blocksize=(8, 32))
+    path = str(tmp_path / "plan.npz")
+    save_plan(plan, path)
+    plan2 = load_plan(path)
+    assert plan2.shape == plan.shape
+    assert plan2.blocksize == plan.blocksize
+    assert plan2.ell_width == plan.ell_width
+    b = jnp.asarray(rng.normal(size=(160, 64)).astype(np.float32))
+    out1 = np.asarray(tiled_spmm_pallas(plan, plan.pack_values(a.data), b))
+    out2 = np.asarray(tiled_spmm_pallas(plan2, plan2.pack_values(a.data), b))
+    np.testing.assert_allclose(out1, out2)

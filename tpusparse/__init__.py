@@ -44,7 +44,14 @@ from tpusparse.ops import (
     tiled_spmm,
     sddmm,
 )
-from tpusparse.plan import Plan, build_plan, plan_cache_info, clear_plan_cache
+from tpusparse.plan import (
+    Plan,
+    build_plan,
+    save_plan,
+    load_plan,
+    plan_cache_info,
+    clear_plan_cache,
+)
 from tpusparse import patch
 from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_params
 
@@ -82,6 +89,8 @@ __all__ = [
     "sparsify_dense_params",
     "Plan",
     "build_plan",
+    "save_plan",
+    "load_plan",
     "plan_cache_info",
     "clear_plan_cache",
 ]

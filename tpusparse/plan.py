@@ -585,6 +585,37 @@ def _fingerprint(shape, blocksize, indptr: np.ndarray, indices: np.ndarray) -> s
     return h.hexdigest()
 
 
+def save_plan(plan: Plan, path: str) -> None:
+    """Persist an inspected plan (inspect once at build time, load in
+    serving jobs — the deployment form of the reference's inspect-once /
+    multiply-many lifecycle, custom_mm.cpp:283-357)."""
+    np.savez_compressed(
+        path,
+        block_cols=np.asarray(plan.block_cols),
+        nslots=np.asarray(plan.nslots),
+        scatter_idx=np.asarray(plan.scatter_idx),
+        shape=np.asarray(plan.shape, dtype=np.int64),
+        blocksize=np.asarray(plan.blocksize, dtype=np.int64),
+        ell_width=np.asarray(plan.ell_width, dtype=np.int64),
+        nnz=np.asarray(plan.nnz, dtype=np.int64),
+        nblocks=np.asarray(plan.nblocks, dtype=np.int64),
+    )
+
+
+def load_plan(path: str) -> Plan:
+    with np.load(path) as z:
+        return Plan(
+            block_cols=np.ascontiguousarray(z["block_cols"]),
+            nslots=np.ascontiguousarray(z["nslots"]),
+            scatter_idx=np.ascontiguousarray(z["scatter_idx"]),
+            shape=tuple(int(v) for v in z["shape"]),
+            blocksize=tuple(int(v) for v in z["blocksize"]),
+            ell_width=int(z["ell_width"]),
+            nnz=int(z["nnz"]),
+            nblocks=int(z["nblocks"]),
+        )
+
+
 def plan_cache_info() -> Dict[str, int]:
     return {"size": len(_PLAN_CACHE), **_CACHE_STATS}
 

@@ -54,8 +54,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and not _build():
-            return None
+        stale = (
+            os.path.exists(_SO_PATH)
+            and os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO_PATH)
+        )
+        if (not os.path.exists(_SO_PATH) or stale) and not _build():
+            if not os.path.exists(_SO_PATH):
+                return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -79,6 +85,14 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p,
             ctypes.c_int64,
             ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            i32p,
+            i64p,
+        ]
+        lib.ts_coo_to_csr.restype = None
+        lib.ts_coo_to_csr.argtypes = [
+            i32p,
             ctypes.c_int64,
             ctypes.c_int64,
             i32p,
@@ -128,3 +142,16 @@ def inspect(
         scatter_idx = scatter_idx.astype(np.int32)
     nblocks = int(nslots.sum())
     return block_cols, nslots, scatter_idx, ell_width, nblocks
+
+
+def coo_to_csr(rows: np.ndarray, m: int):
+    """Native counting sort: (indptr (m+1,) int32, order (nnz,) int64)
+    with csr_entry[i] = coo_entry[order[i]] (stable within rows)."""
+    lib = _load()
+    assert lib is not None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    nnz = int(rows.shape[0])
+    indptr = np.zeros((m + 1,), dtype=np.int32)
+    order = np.zeros((nnz,), dtype=np.int64)
+    lib.ts_coo_to_csr(rows, nnz, m, indptr, order)
+    return indptr, order

@@ -291,9 +291,25 @@ def _expand_indptr(indptr: jnp.ndarray, nnz: int) -> jnp.ndarray:
 
 
 def coo_to_csr(a: COO) -> "CSR":
-    """COO -> CSR. Jittable analog of the reference's host counting sort
-    (src/sparse_mm.cu:110-134); requires row-sorted input like the reference,
-    but sorts defensively since that's free under XLA fusion."""
+    """COO -> CSR. Analog of the reference's host counting sort
+    (src/sparse_mm.cu:110-134), generalized to unsorted input. Concrete
+    patterns use the native C++ counting sort (csrc/inspector.cpp
+    ts_coo_to_csr) when built; traced inputs fall back to the jittable
+    XLA sort path."""
+    try:
+        rows_np = np.asarray(a.row)
+        from tpusparse.runtime import native
+
+        if native.available():
+            indptr, order = native.coo_to_csr(rows_np, a.shape[0])
+            return CSR(
+                data=a.data[order],
+                indices=np.asarray(a.col)[order].astype(np.int32),
+                indptr=indptr,
+                shape=a.shape,
+            )
+    except Exception:
+        pass  # traced, or native unavailable — use the XLA path
     order = jnp.argsort(a.row, stable=True)
     counts = jnp.bincount(a.row, length=a.shape[0])
     indptr = jnp.concatenate(
