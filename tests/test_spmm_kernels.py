@@ -183,3 +183,40 @@ def test_transpose_plan_consistency(rng):
     out = tiled_spmm_pallas(plan_t, plan_t.pack_values(a.data[t_perm]), b)
     expected = np.asarray(a.to_dense()).T @ np.asarray(b)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_div_reducer_matches_reciprocal_product(rng):
+    import tpusparse as ts
+
+    a = ts.random_csr(11, (16, 24), 0.3)
+    b = jnp.asarray(rng.uniform(0.5, 2.0, size=(24, 8)).astype(np.float32))
+    ref = np.asarray(ts.spmm_reference(a, b, reduce="mul"))
+    got = np.asarray(ts.spmm_reference(a, b, reduce="div"))
+    np.testing.assert_allclose(got, 1.0 / ref, rtol=1e-4)
+    # Pallas naive kernel agrees
+    got_k = np.asarray(ts.naive_spmm(a, b, reduce="div"))
+    np.testing.assert_allclose(got_k, got, rtol=1e-4)
+
+
+def test_minmax_arg_tracking(rng):
+    import tpusparse as ts
+
+    a = ts.random_csr(12, (12, 16), 0.4)
+    b = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    vals, arg = ts.spmm_reference(a, b, reduce="max", return_arg=True)
+    vals, arg = np.asarray(vals), np.asarray(arg)
+    rows = np.repeat(np.arange(12), np.diff(np.asarray(a.indptr)))
+    gathered = np.asarray(b)[np.asarray(a.indices)] * np.asarray(a.data)[:, None]
+    for i in range(12):
+        sel = np.nonzero(rows == i)[0]
+        for c in range(4):
+            if len(sel) == 0:
+                assert vals[i, c] == 0 and arg[i, c] == a.nnz
+            else:
+                e = sel[np.argmax(gathered[sel, c])]
+                assert np.isclose(vals[i, c], gathered[e, c], rtol=1e-5)
+                assert gathered[arg[i, c], c] == gathered[e, c]
+                assert rows[arg[i, c]] == i
+
+    with pytest.raises(ValueError, match="min/max"):
+        ts.spmm_reference(a, b, reduce="sum", return_arg=True)

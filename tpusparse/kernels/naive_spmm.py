@@ -2,7 +2,7 @@
 
 TPU-native analog of the reference's warp-per-row CSR kernel
 (`spmm_kernel`, src/naive_sparse_mm.cu:25-101) and its reduction functor
-library (src/naive_reducer.cuh:23-102: SUM/MEAN/MUL/MIN/MAX).
+library (src/naive_reducer.cuh:23-102: SUM/MEAN/MUL/DIV/MIN/MAX).
 
 Redesign: instead of warps shuffling (col, val) pairs, the pattern is
 ELL-packed on the host (fixed width = max row nnz) and both index and
@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpusparse.types import CSR
 from tpusparse.utils.config import get_config, interpret_mode, round_up
 
-REDUCTIONS = ("sum", "mean", "max", "min", "mul")
+REDUCTIONS = ("sum", "mean", "max", "min", "mul", "div")
 
 _ROW_TILE = 8  # rows per grid cell (fp32 sublane count)
 
@@ -61,6 +61,7 @@ def _identity(reduce: str):
         "max": -jnp.inf,
         "min": jnp.inf,
         "mul": 1.0,
+        "div": 1.0,
     }[reduce]
 
 
@@ -92,6 +93,9 @@ def _naive_kernel(
                 return jnp.maximum(acc, contrib)
             if reduce == "min":
                 return jnp.minimum(acc, contrib)
+            if reduce == "div":
+                return acc / contrib  # running division from 1 (reference
+                # Reducer::update DIV, naive_reducer.cuh:78-79)
             return acc * contrib  # mul
 
         init = jnp.full((1, tn), _identity(reduce), dtype=jnp.float32)

@@ -411,18 +411,28 @@ def random_powerlaw_csr(
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("reduce",))
-def spmm_reference(a: CSR, b: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("reduce", "return_arg"))
+def spmm_reference(
+    a: CSR, b: jnp.ndarray, reduce: str = "sum", return_arg: bool = False
+) -> jnp.ndarray:
     """Gather/segment SpMM: C[i,:] = reduce_{j in row i} A[i,j] * B[j,:].
 
-    XLA-path oracle for the Pallas kernels; supports the reference's
-    reduction modes (src/naive_reducer.cuh:23-46 ReductionType).
+    XLA-path oracle for the Pallas kernels; supports every reference
+    reduction mode (src/naive_reducer.cuh:23 ReductionType {SUM, MEAN,
+    MUL, DIV, MIN, MAX}). `div` is a running division from 1 — i.e. the
+    reciprocal of the product (Reducer::update, naive_reducer.cuh:78-79).
+    With return_arg=True (min/max only), also returns the argmin/argmax:
+    the global nnz index whose contribution attains the extremum, `nnz`
+    for empty rows (the reference's arg_out contract,
+    naive_sparse_mm.cu:125-129).
     """
     if b.ndim != 2:
         raise ValueError(f"spmm_reference expects 2-D b, got {b.shape}")
     rows = a.row_ids()
     gathered = b[a.indices] * a.data[:, None]
     m = a.shape[0]
+    if return_arg and reduce not in ("min", "max"):
+        raise ValueError("return_arg is only meaningful for min/max")
     if reduce == "sum":
         return jax.ops.segment_sum(gathered, rows, num_segments=m)
     if reduce == "mean":
@@ -431,12 +441,29 @@ def spmm_reference(a: CSR, b: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
             jnp.ones_like(a.data), rows, num_segments=m
         )
         return s / jnp.maximum(cnt, 1.0)[:, None]
-    if reduce == "max":
-        return jax.ops.segment_max(gathered, rows, num_segments=m)
-    if reduce == "min":
-        return jax.ops.segment_min(gathered, rows, num_segments=m)
+    if reduce in ("max", "min"):
+        seg = jax.ops.segment_max if reduce == "max" else jax.ops.segment_min
+        ext = seg(gathered, rows, num_segments=m)
+        if not return_arg:
+            return ext
+        nnz = a.nnz
+        e_idx = jnp.arange(nnz, dtype=jnp.int32)[:, None]
+        # first nnz index attaining the extremum per (row, col); empty
+        # rows keep the reference's fill value `nnz` (int32: x64 is off)
+        cand = jnp.where(gathered == ext[rows], e_idx, np.int32(nnz))
+        arg = jax.ops.segment_min(
+            jnp.broadcast_to(cand, gathered.shape), rows, num_segments=m
+        )
+        big = jnp.iinfo(jnp.int32).max
+        arg = jnp.where(arg == big, np.int32(nnz), arg)
+        counts = jnp.bincount(rows, length=m)
+        values = jnp.where((counts > 0)[:, None], ext, 0.0)
+        return values, arg
     if reduce == "mul":
         return jax.ops.segment_prod(gathered, rows, num_segments=m)
+    if reduce == "div":
+        # running val /= new from init 1 == reciprocal of the product
+        return 1.0 / jax.ops.segment_prod(gathered, rows, num_segments=m)
     raise ValueError(f"unknown reduce mode {reduce!r}")
 
 
