@@ -71,7 +71,7 @@ def _executor_kernel(
         def _():
             issue(u)
 
-    def body(l, acc):
+    def consume(l, acc):
         @pl.when(l + DEPTH - 1 < nvalid)
         def _():
             issue(l + DEPTH - 1)
@@ -83,8 +83,15 @@ def _executor_kernel(
         ).wait()
         return acc + mxu.dot(vals_ref[0, l], btile[l % DEPTH], precision)
 
+    # 2-wide unroll hides per-iteration loop/DMA-bookkeeping latency
+    # behind the MXU passes (~10% on the 16384 block-sparse headline)
+    def body2(t, acc):
+        acc = consume(t * 2, acc)
+        return consume(t * 2 + 1, acc)
+
     acc = jnp.zeros(o_ref.shape, jnp.float32)
-    acc = jax.lax.fori_loop(0, nvalid, body, acc)
+    acc = jax.lax.fori_loop(0, nvalid // 2, body2, acc)
+    acc = jax.lax.fori_loop((nvalid // 2) * 2, nvalid, consume, acc)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
