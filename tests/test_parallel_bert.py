@@ -254,3 +254,31 @@ def test_moe_expert_count_must_divide(rng):
     params = init_moe_params(jax.random.PRNGKey(0), 6, 8, 16)
     with pytest.raises(ValueError, match="divide"):
         moe_forward(params, jnp.zeros((4, 8)), mesh)
+
+
+def test_ulysses_attention_matches_dense(rng):
+    from tpusparse.parallel.attention import ulysses_attention
+
+    b, h, s, hd = 2, 8, 64, 16
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, hd)).astype(np.float32))
+        for _ in range(3)
+    )
+    mesh = make_mesh((8,), ("seq",))
+    out = ulysses_attention(q, k, v, mesh, axis="seq")
+    sc = np.einsum(
+        "bhqd,bhkd->bhqk", np.asarray(q, np.float64), np.asarray(k, np.float64)
+    ) / np.sqrt(hd)
+    e = np.exp(sc - sc.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v, np.float64))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ulysses_heads_must_divide(rng):
+    from tpusparse.parallel.attention import ulysses_attention
+
+    mesh = make_mesh((8,), ("seq",))
+    q = jnp.zeros((1, 6, 64, 8))
+    with pytest.raises(ValueError, match="divide"):
+        ulysses_attention(q, q, q, mesh, axis="seq")

@@ -209,3 +209,44 @@ def test_compare_report():
     assert rep["allclose"] == 0.0 and rep["mismatches"] == 1
     assert rep["max_abs_err"] == pytest.approx(8.0)
     assert compare_report(e, np.zeros((3, 3)))["shape_mismatch"] == 1.0
+
+
+# -- transient-failure retry (reference has no failure handling, §5.3) --------
+
+def test_with_retries_retries_transient_then_succeeds():
+    from tpusparse.utils.retry import with_retries
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("Backend 'axon' is not in the list of known backends")
+        return 42
+
+    assert with_retries(flaky, retries=3, backoff_s=0.0)() == 42
+    assert calls["n"] == 3
+
+
+def test_with_retries_permanent_raises_immediately():
+    from tpusparse.utils.retry import with_retries
+
+    calls = {"n": 0}
+
+    def oom():
+        calls["n"] += 1
+        raise RuntimeError("Ran out of memory in memory space vmem")
+
+    with pytest.raises(RuntimeError, match="Ran out"):
+        with_retries(oom, retries=5, backoff_s=0.0)()
+    assert calls["n"] == 1
+
+
+def test_with_retries_exhausts():
+    from tpusparse.utils.retry import with_retries
+
+    def always():
+        raise RuntimeError("HTTP 500: tpu_compile_helper")
+
+    with pytest.raises(RuntimeError, match="HTTP 500"):
+        with_retries(always, retries=2, backoff_s=0.0)()

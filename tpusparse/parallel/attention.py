@@ -112,3 +112,55 @@ def ring_local_attention(
         in_specs=(P(None, None, axis, None),) * 3,
         out_specs=P(None, None, axis, None),
     )(q, k, v)
+
+
+def ulysses_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "seq",
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Full (dense) attention with sequence-parallel inputs via the
+    Ulysses reshard: inputs arrive sharded on the sequence axis; an
+    all_to_all trades the sequence shard for a head shard, so each device
+    runs unmodified full-sequence attention over heads/P local heads,
+    and a second all_to_all restores sequence sharding. Communication is
+    2 all_to_alls of the activations; attention math is untouched (exact,
+    any mask) — the complement of ring_local_attention, which shards the
+    banded kernel itself.
+
+    q/k/v: (batch, heads, seq, head_dim); heads must divide the axis size.
+    """
+    b, h, s, hd = q.shape
+    nshards = mesh.shape[axis]
+    if h % nshards != 0 or s % nshards != 0:
+        raise ValueError(
+            f"heads {h} and seq {s} must divide the '{axis}' axis ({nshards})"
+        )
+
+    def body(qs, ks, vs):
+        # local: (b, h, s/P, hd) -> all_to_all -> (b, h/P, s, hd)
+        def scatter_heads(x):
+            return lax.all_to_all(x, axis, split_axis=1, concat_axis=2, tiled=True)
+
+        def gather_seq(x):
+            return lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+
+        qh, kh, vh = scatter_heads(qs), scatter_heads(ks), scatter_heads(vs)
+        from tpusparse.dense import einsum as precise_einsum
+
+        scores = precise_einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(hd)
+        if mask is not None:
+            scores = jnp.where(mask, scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = precise_einsum("bhqk,bhkd->bhqd", probs, vh)
+        return gather_seq(ctx)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None),) * 3,
+        out_specs=P(None, None, axis, None),
+    )(q, k, v)

@@ -46,3 +46,7 @@ from tpusparse.utils.debug import (
 )
 
 __all__ += ["validate_csr", "check_csr", "checked", "compare_report"]
+
+from tpusparse.utils.retry import with_retries, is_transient
+
+__all__ += ["with_retries", "is_transient"]
