@@ -23,6 +23,9 @@ from common import base_parser, get_logger, log_and_print, setup_platform
 
 
 def time_contenders(dim, n_cols, sparsity, structured, seed):
+    # small per-measure iteration counts: each device_time_per_iter call
+    # recompiles its chained loop, and compile time dominates at small dims
+    TIMER = dict(iters_lo=1, iters_hi=4, repeats=2, min_delta=4e-3)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,34 +51,46 @@ def time_contenders(dim, n_cols, sparsity, structured, seed):
     b = jax.random.uniform(jax.random.PRNGKey(seed + 1), (dim, n_cols))
     a_dense = a.to_dense()
 
+    from tpusparse.ops import _route_spmm
+
     results = {"dim": dim, "sparsity": sparsity, "structured": structured,
-               "nnz": int(a.nnz)}
+               "nnz": int(a.nnz), "routed": _route_spmm(a, b, blocksize)}
 
     def dense_step(x):
         A, bb = x
-        return A, normalizing(lambda v: jnp.matmul(A, v))(bb)
+        # framework dense op: same 3-pass fp32 mode as the sparse side
+        return A, normalizing(lambda v: ts.matmul(A, v))(bb)
 
-    results["dense_ms"] = device_time_per_iter(dense_step, (a_dense, b)) * 1e3
+    results["dense_ms"] = device_time_per_iter(dense_step, (a_dense, b), **TIMER) * 1e3
 
-    plan = build_plan(a, blocksize=blocksize)
-    bv = plan.pack_values(a.data)
-
-    def tiled_step(x):
+    # the framework's own dispatch (what a user gets)
+    def auto_step(x):
         vals, bb = x
-        return vals, normalizing(lambda v: tiled_spmm_pallas(plan, vals, v))(bb)
+        a2 = ts.CSR(data=vals, indices=a.indices, indptr=a.indptr, shape=a.shape)
+        return vals, normalizing(lambda v: ts.spmm(a2, v, blocksize=blocksize))(bb)
 
-    results["tiled_ms"] = device_time_per_iter(tiled_step, (bv, b)) * 1e3
-    results["tiled_nnz_per_s"] = a.nnz * n_cols / (results["tiled_ms"] / 1e3)
+    results["auto_ms"] = device_time_per_iter(auto_step, (a.data, b), **TIMER) * 1e3
+    results["auto_nnz_per_s"] = a.nnz * n_cols / (results["auto_ms"] / 1e3)
 
-    # naive gather SpMM only where its scalar-prefetched ELL arrays fit the
-    # ~1MB TPU SMEM budget (indices + values are both prefetch operands)
+    # explicit tiled executor where its scalar-prefetch arrays fit SMEM
+    plan = build_plan(a, blocksize=blocksize)
+    if plan.num_row_blocks * plan.ell_width * 4 < 900_000:
+        bv = plan.pack_values(a.data)
+
+        def tiled_step(x):
+            vals, bb = x
+            return vals, normalizing(lambda v: tiled_spmm_pallas(plan, vals, v))(bb)
+
+        results["tiled_ms"] = device_time_per_iter(tiled_step, (bv, b), **TIMER) * 1e3
+
+    # naive gather kernel only where its prefetched ELL arrays fit SMEM
     if a.nnz <= 60_000:
         def naive_step(x):
             av, bb = x
             a2 = ts.CSR(data=av, indices=a.indices, indptr=a.indptr, shape=a.shape)
             return av, normalizing(lambda v: ts.naive_spmm(a2, v))(bb)
 
-        results["naive_ms"] = device_time_per_iter(naive_step, (a.data, b)) * 1e3
+        results["naive_ms"] = device_time_per_iter(naive_step, (a.data, b), **TIMER) * 1e3
     return results
 
 
@@ -105,7 +120,8 @@ def main():
                 log_and_print(
                     logger,
                     f"dim {dim} sparsity {sparsity} "
-                    f"{'block' if structured else 'unstructured'}: "
+                    f"{'block' if structured else 'unstructured'} "
+                    f"routed={r['routed']}: "
                     + " ".join(
                         f"{k}={v:.3f}" for k, v in r.items() if k.endswith("_ms")
                     )

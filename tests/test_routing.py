@@ -106,8 +106,11 @@ def test_router_regimes():
     b = jnp.zeros((4096, 256))
     ultra = ts.random_csr(0, (4096, 4096), 1e-4)
     assert _route_spmm(ultra, b, None) == "gather"
+    # one-shot semantics: tiled pays a value pack (~5 ns/nnz), dense pays
+    # a densify scatter (~9 ns/nnz) — mid/high unstructured density goes
+    # tiled, never dense, under the fitted cost model
     nearly_dense = ts.random_csr(1, (4096, 4096), 0.05)
-    assert _route_spmm(nearly_dense, b, None) == "dense"
+    assert _route_spmm(nearly_dense, b, None) == "tiled"
     rng = np.random.default_rng(2)
     mask = rng.random((32, 32)) < 0.1
     blocky = ts.CSR.from_dense(

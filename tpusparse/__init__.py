@@ -39,6 +39,7 @@ from tpusparse.ops import (
     transb_mm,
     transab_mm,
     spmm,
+    spmm_blocks,
     gather_spmm,
     naive_spmm,
     tiled_spmm,
@@ -79,6 +80,7 @@ __all__ = [
     "transb_mm",
     "transab_mm",
     "spmm",
+    "spmm_blocks",
     "gather_spmm",
     "naive_spmm",
     "tiled_spmm",

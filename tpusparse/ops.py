@@ -391,10 +391,17 @@ _ROUTE_CACHE = {}
 # gather moves one ~1KB random B row per nonzero at ~80 GB/s effective;
 # the tiled executor pays ~120ns of loop/DMA/MXU critical path per slot
 # plus its B-tile gather traffic at ~600 GB/s; dense runs the MXU at the
-# roofline constants. See _cal sweeps recorded in BENCH_DETAILS.json.
+# roofline constants PLUS the per-call densify scatter (~9 ns/nnz
+# measured — spmm(a, b, method='dense') scatters A every call). See _cal
+# sweeps recorded in BENCH_DETAILS.json.
 _GATHER_ROW_BW = 80e9
 _TILED_SLOT_OVERHEAD = 120e-9
 _TILED_BW = 600e9
+_DENSIFY_PER_NNZ = 9e-9
+# the one-shot spmm API re-packs CSR values into block ELL form per call
+# (~5 ns/nnz XLA scatter); plan-reuse callers should hold weights in
+# packed form and call spmm_blocks instead — that path pays none of this
+_PACK_PER_NNZ = 5e-9
 
 
 def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) -> str:
@@ -433,13 +440,20 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
 
     t_gather = nnz * n * 8.0 / _GATHER_ROW_BW
     tiled_bytes = (nblocks * bk * n + nblocks * bm * bk + m * n * 2) * 4.0
-    t_tiled = max(
-        tiled_bytes / _TILED_BW,
-        nblocks * _TILED_SLOT_OVERHEAD * max(n // 512, 1),
+    t_tiled = (
+        max(
+            tiled_bytes / _TILED_BW,
+            nblocks * _TILED_SLOT_OVERHEAD * max(n // 512, 1),
+        )
+        + nnz * _PACK_PER_NNZ
     )
-    t_dense = max(
-        2.0 * m * k * n / _ROOFLINE["peak_fp32_flops"],
-        (m * k + k * n + m * n) * 4.0 / _ROOFLINE["hbm_bandwidth"],
+    t_dense = (
+        max(
+            2.0 * m * k * n / _ROOFLINE["peak_fp32_flops"],
+            (m * k + k * n + m * n) * 4.0 / _ROOFLINE["hbm_bandwidth"],
+        )
+        + nnz * _DENSIFY_PER_NNZ
+        + m * k * 4.0 / _ROOFLINE["hbm_bandwidth"]
     )
     method = min(
         (t_tiled, "tiled"), (t_gather, "gather"), (t_dense, "dense")
