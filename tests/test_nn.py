@@ -170,3 +170,51 @@ def test_train_epoch_scan_matches_stepwise(rng):
     np.testing.assert_allclose(np.asarray(losses), step_losses, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_block_sparse_linear_matches_sparse_linear(rng):
+    from tpusparse.nn import BlockSparseLinear, Pattern, SparseLinear
+
+    pat = Pattern.random(0, (24, 16), 0.3)
+    x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    bsl = BlockSparseLinear(pattern=pat, use_bias=False, blocksize=(8, 16))
+    params = bsl.init(jax.random.PRNGKey(0), x)
+    out = bsl.apply(params, x)
+    # densify the packed kernel and compare against x @ Wᵀ
+    from tpusparse.plan import build_plan
+
+    plan = build_plan(pat.to_csr(np.zeros(pat.nnz, np.float32)), (8, 16))
+    w_vals = plan.unpack_values(params["params"]["kernel_blocks"])
+    w = np.asarray(pat.to_csr(w_vals).to_dense())
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(x) @ w.T, rtol=1e-4, atol=1e-5
+    )
+
+    # gradients stay inside the pattern: masked slots receive zero update
+    def loss(p):
+        return jnp.sum(bsl.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)["params"]["kernel_blocks"]
+    mask = np.zeros((plan.num_slots * 8 * 16,), np.float32)
+    mask[np.asarray(plan.scatter_idx)] = 1.0
+    mask = mask.reshape(plan.num_slots, 8, 16)
+    np.testing.assert_allclose(np.asarray(g) * (1 - mask), 0.0)
+
+
+def test_mnist_blocksparse_variant_trains(rng):
+    import optax
+
+    from tpusparse.models.mlp import MnistNet, make_train_state, train_step
+
+    model = MnistNet(variant="blocksparse", sparse_density=0.2)
+    params, tx, opt_state = make_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(8, 784)
+    )
+    step = jax.jit(train_step(model, tx))
+    x = jnp.asarray(rng.normal(size=(8, 784)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, size=(8,)).astype(np.int32))
+    first = None
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        first = first if first is not None else float(loss)
+    assert float(loss) < first

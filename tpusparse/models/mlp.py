@@ -20,12 +20,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tpusparse.nn.layers import DenseLinear, Pattern, SparseLinear
+from tpusparse.nn.layers import BlockSparseLinear, DenseLinear, Pattern, SparseLinear
 
 
 class MnistNet(nn.Module):
     """variant: 'xla' (plain flax Dense — the regNet control), 'dense'
-    (our mm ops — cubNet analog), 'sparse' (tiled SpMM — cuspNet analog).
+    (our mm ops — cubNet analog), 'sparse' (tiled SpMM — cuspNet analog),
+    'blocksparse' (persistent packed-block weights — zero per-step pack).
     """
 
     variant: str = "dense"
@@ -48,6 +49,11 @@ class MnistNet(nn.Module):
                     self.pattern_seed + i, (d, x.shape[-1]), self.sparse_density
                 )
                 x = SparseLinear(pattern=pat, name=f"fc{i+1}")(x)
+            elif self.variant == "blocksparse":
+                pat = Pattern.random(
+                    self.pattern_seed + i, (d, x.shape[-1]), self.sparse_density
+                )
+                x = BlockSparseLinear(pattern=pat, name=f"fc{i+1}")(x)
             else:
                 raise ValueError(f"unknown variant {self.variant!r}")
             if i < len(dims) - 1:

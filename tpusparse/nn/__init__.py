@@ -1,4 +1,4 @@
-from tpusparse.nn.layers import DenseLinear, SparseLinear, Pattern
+from tpusparse.nn.layers import DenseLinear, SparseLinear, BlockSparseLinear, Pattern
 from tpusparse.nn.attention import (
     SelfAttention,
     SparseSelfAttention,
@@ -9,6 +9,7 @@ from tpusparse.nn.attention import (
 __all__ = [
     "DenseLinear",
     "SparseLinear",
+    "BlockSparseLinear",
     "Pattern",
     "SelfAttention",
     "SparseSelfAttention",

@@ -134,6 +134,66 @@ class DenseLinear(nn.Module):
         return y
 
 
+class BlockSparseLinear(nn.Module):
+    """Linear layer whose weight lives directly in packed ELL block form.
+
+    `SparseLinear` stores the nnz value vector and re-packs it into the
+    executor's block layout every forward (~5 ns/nnz XLA scatter). Here
+    the *parameter is the packed block tensor* (num_slots, bm, bk) with a
+    static 0/1 mask keeping optimizer updates inside the sparsity
+    pattern — zero packing cost per step, the single-device form of the
+    distributed training layer (parallel/train.py). Best for training
+    loops and serving; use SparseLinear when you need the nnz vector as
+    the canonical parameter.
+    """
+
+    pattern: Pattern  # static (out, in) sparsity pattern
+    use_bias: bool = True
+    blocksize: Optional[Tuple[int, int]] = None
+
+    @classmethod
+    def random(
+        cls, seed: int, in_features: int, out_features: int, density: float, **kw
+    ) -> "BlockSparseLinear":
+        return cls(
+            pattern=Pattern.random(seed, (out_features, in_features), density), **kw
+        )
+
+    @nn.compact
+    def __call__(self, x):
+        from tpusparse.plan import build_plan
+
+        out_features, in_features = self.pattern.shape
+        if x.shape[-1] != in_features:
+            raise ValueError(
+                f"input features {x.shape[-1]} != pattern in_features {in_features}"
+            )
+        w_csr = self.pattern.to_csr(np.zeros((self.pattern.nnz,), np.float32))
+        plan = build_plan(w_csr, self.blocksize)
+        bm, bk = plan.blocksize
+        bound = 1.0 / np.sqrt(in_features)
+
+        mask = np.zeros((plan.num_slots * bm * bk,), np.float32)
+        mask[np.asarray(plan.scatter_idx)] = 1.0
+        mask = mask.reshape(plan.num_slots, bm, bk)
+
+        def init_blocks(key, shape):
+            vals = jax.random.uniform(
+                key, (self.pattern.nnz,), minval=-bound, maxval=bound
+            )
+            return plan.pack_values(vals)
+
+        blocks = self.param("kernel_blocks", init_blocks, None)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, in_features)
+        y = ops.spmm_blocks(plan, blocks * mask, jnp.swapaxes(x2, 0, 1))
+        y = jnp.swapaxes(y, 0, 1).reshape(*lead, out_features)
+        if self.use_bias:
+            bias = self.param("bias", _ref_bias_init(in_features), (out_features,))
+            y = y + bias
+        return y
+
+
 class SparseLinear(nn.Module):
     """Linear layer with a static-sparse (out, in) weight.
 
