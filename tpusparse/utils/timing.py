@@ -33,6 +33,26 @@ def _chained(step: Callable, iters: int):
     return run
 
 
+_OVERHEAD_CACHE: dict = {}
+
+
+def _dispatch_overhead() -> float:
+    """Fixed per-call host↔device round-trip cost (measured once per
+    process): a compiled scalar no-op fetched like the timed programs."""
+    key = "overhead"
+    if key not in _OVERHEAD_CACHE:
+        trivial = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros(())
+        float(trivial(x))  # compile
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(trivial(x))
+            best = min(best, time.perf_counter() - t0)
+        _OVERHEAD_CACHE[key] = best
+    return _OVERHEAD_CACHE[key]
+
+
 def device_time_per_iter(
     step: Callable,
     x0,
@@ -44,13 +64,16 @@ def device_time_per_iter(
 ) -> float:
     """Seconds per iteration of `step` (a shape-preserving x -> x fn).
 
-    Adaptive: if the (iters_hi - iters_lo) iteration delta is below
-    `min_delta` seconds it drowns in host↔device roundtrip jitter (~ms on
-    the tunnel), so iteration counts are scaled up until the delta is
-    measurable — fast kernels are timed over thousands of chained calls.
+    One compiled program per measurement (each distinct iteration count
+    recompiles the chained loop, and on the tunneled TPU a 16K-scale
+    compile costs 30-60 s — more than the measurement): runs iters_hi
+    chained iterations, subtracts the globally-calibrated dispatch
+    overhead, and scales the iteration count up until the net time
+    clears `min_delta` of host-roundtrip jitter.
     """
-
-    def measure(iters):
+    overhead = _dispatch_overhead()
+    iters = max(iters_hi, iters_lo)
+    while True:
         run = _chained(step, iters)
         float(run(x0))  # compile + warm
         best = float("inf")
@@ -58,19 +81,13 @@ def device_time_per_iter(
             t0 = time.perf_counter()
             float(run(x0))
             best = min(best, time.perf_counter() - t0)
-        return best
-
-    while True:
-        t_lo = measure(iters_lo)
-        t_hi = measure(iters_hi)
-        delta = t_hi - t_lo
-        if delta >= min_delta or iters_hi >= max_iters:
-            return max(delta / (iters_hi - iters_lo), 1e-9)
-        scale = 8 if delta <= 0 else min(
-            8, max(2, int(min_delta / max(delta, 1e-9) + 1))
+        net = best - overhead
+        if net >= min_delta or iters >= max_iters:
+            return max(net / iters, 1e-9)
+        scale = 8 if net <= 0 else min(
+            8, max(2, int(min_delta / max(net, 1e-9) + 1))
         )
-        iters_lo *= scale
-        iters_hi *= scale
+        iters *= scale
 
 
 def normalizing(step: Callable) -> Callable:
