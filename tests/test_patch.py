@@ -96,3 +96,18 @@ def test_sparsify_requires_exactly_one_mode(rng):
         sparsify_dense_params(params, ["kernel"])
     with pytest.raises(ValueError):
         sparsify_dense_params(params, ["kernel"], threshold=0.1, density=0.5)
+
+
+def test_sparsify_dense_params_threshold(rng):
+    w = rng.normal(size=(12, 10)).astype(np.float32)
+    params = {"params": {"layer": {"kernel": jnp.asarray(w)}}}
+    pruned, sparse = sparsify_dense_params(params, ["kernel"], threshold=0.5)
+    (name, csr), = sparse.items()
+    expected_mask = np.abs(w) >= 0.5
+    assert csr.nnz == expected_mask.sum()
+    np.testing.assert_allclose(
+        np.asarray(csr.to_dense()), w * expected_mask, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(pruned["params"]["layer"]["kernel"]), w * expected_mask
+    )

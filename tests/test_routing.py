@@ -199,3 +199,43 @@ def test_spmm_accepts_bsr(rng):
     out = np.asarray(ts.spmm(bsr, b, method="tiled"))
     ref = dense.astype(np.float64) @ np.asarray(b, np.float64)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-5)
+
+
+def test_executors_multi_n_tile(rng):
+    """n larger than the N block exercises the j grid dimension of all
+    three executors (B strips re-fetched per tile)."""
+    from tpusparse.kernels.tiled_spmm import (
+        compact_spmm_pallas,
+        grouped_spmm_pallas,
+        tiled_spmm_pallas,
+    )
+    from tpusparse.plan import build_plan, compact_plan, group_plan
+    from tpusparse.utils.config import get_config, set_config
+
+    a = ts.random_csr(9, (128, 256), 0.05)
+    b = jnp.asarray(rng.normal(size=(256, 384)).astype(np.float32))
+    ref = _dense_ref(a, b)
+    plan = build_plan(a, blocksize=(8, 32))
+    set_config(spmm_block_n=128)  # force 3 N tiles
+    try:
+        out_t = np.asarray(tiled_spmm_pallas(plan, plan.pack_values(a.data), b))
+        cp = compact_plan(plan)
+        out_c = np.asarray(compact_spmm_pallas(cp, cp.pack_values(a.data), b))
+        gp = group_plan(plan, 4)
+        out_g = np.asarray(grouped_spmm_pallas(gp, gp.pack_values(a.data), b))
+    finally:
+        set_config(spmm_block_n=512)
+    for name, out in (("tiled", out_t), ("compact", out_c), ("grouped", out_g)):
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-5, err_msg=name)
+
+
+def test_spmm_batched_through_all_routes(rng):
+    a = ts.random_csr(10, (48, 64), 0.08)
+    b3 = jnp.asarray(rng.normal(size=(3, 64, 32)).astype(np.float32))
+    for method in ("auto", "gather", "dense", "tiled"):
+        out = np.asarray(ts.spmm(a, b3, method=method))
+        assert out.shape == (3, 48, 32)
+        for i in range(3):
+            np.testing.assert_allclose(
+                out[i], _dense_ref(a, b3[i]), rtol=1e-4, atol=5e-5, err_msg=method
+            )
