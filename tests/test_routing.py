@@ -239,3 +239,31 @@ def test_spmm_batched_through_all_routes(rng):
             np.testing.assert_allclose(
                 out[i], _dense_ref(a, b3[i]), rtol=1e-4, atol=5e-5, err_msg=method
             )
+
+
+def test_spmm_rejects_k_mismatch(rng):
+    """XLA gathers clamp OOB indices, so without an eager check a
+    k-mismatched b returns silently wrong values (caught by error probe)."""
+    a = ts.random_csr(11, (64, 96), 0.1)
+    bad = jnp.zeros((7, 3), jnp.float32)
+    for call in (
+        lambda: ts.spmm(a, bad),
+        lambda: ts.gather_spmm(a, bad),
+        lambda: ts.naive_spmm(a, bad),
+        lambda: ts.tiled_spmm(a, bad),
+        lambda: ts.spmm(a, jnp.zeros((5,), jnp.float32)),  # SpMV mismatch
+    ):
+        with pytest.raises(ValueError, match="incompatible"):
+            call()
+
+
+def test_spmm_folds_4d_batches(rng):
+    a = ts.random_csr(13, (32, 48), 0.1)
+    b4 = jnp.asarray(rng.normal(size=(2, 3, 48, 16)).astype(np.float32))
+    out = np.asarray(ts.spmm(a, b4))
+    assert out.shape == (2, 3, 32, 16)
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_allclose(
+                out[i, j], _dense_ref(a, b4[i, j]), rtol=1e-4, atol=5e-5
+            )

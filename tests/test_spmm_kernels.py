@@ -220,3 +220,22 @@ def test_minmax_arg_tracking(rng):
 
     with pytest.raises(ValueError, match="min/max"):
         ts.spmm_reference(a, b, reduce="sum", return_arg=True)
+
+
+def test_tiled_spmm_bf16x3_precision(rng):
+    """Explicit 'bf16x3' exercises the manual 3-pass hi/lo-split branch of
+    mxu.dot in interpret mode — on CPU the default config maps
+    'high'->HIGHEST, so this name is the only CPU coverage of that branch.
+    (A pre-split-operand executor variant was tried and REJECTED: stacked
+    hi/lo-plane DMA measured 2.5x slower than in-kernel splitting on v5e,
+    with degraded accuracy — the executor is HBM-bandwidth-bound and the
+    strided two-plane copy wrecks DMA efficiency.)"""
+    a, b = _case(21, (160, 224), 0.08, 72, rng)
+    plan = build_plan(a, blocksize=(8, 16))
+    out = tiled_spmm_pallas(
+        plan, plan.pack_values(a.data), b, precision="bf16x3"
+    )
+    expected = np.asarray(a.to_dense(), np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(out), expected, rtol=1e-4, atol=5e-5
+    )

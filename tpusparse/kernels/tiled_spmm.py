@@ -131,6 +131,7 @@ def tiled_spmm_pallas(
     L = plan.ell_width
     grid = (nbr, np_ // bn)
 
+    resolved = pallas_precision(precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -158,7 +159,7 @@ def tiled_spmm_pallas(
             _executor_kernel,
             ell_width=L,
             bn=bn,
-            precision=pallas_precision(precision),
+            precision=resolved,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr * bm, np_), out_dtype),

@@ -149,6 +149,7 @@ def tiled_spmm(
     (custom_mm.cpp:283-357). Pass `plans=build_plan_pair(...)` explicitly
     when calling under jit with traced values.
     """
+    _check_spmm_b(a, b)
     plan, plan_t, t_perm = plans or build_plan_pair(a, blocksize)
     if b.ndim == 2:
         return _tiled_spmm(plan, plan_t, t_perm, a.data, b)
@@ -270,8 +271,20 @@ def _gather_spmm_bwd(shape, res, g):
 _gather_spmm.defvjp(_gather_spmm_fwd, _gather_spmm_bwd)
 
 
+def _check_spmm_b(a, b) -> None:
+    """Reject a k-mismatched dense operand eagerly: XLA gathers CLAMP
+    out-of-bounds row indices, so a wrong-shaped b would otherwise return
+    silently wrong values on the gather path (found by an error probe)."""
+    if b.ndim < 2 or b.shape[-2] != a.shape[1]:
+        raise ValueError(
+            f"b shape {b.shape} incompatible with sparse operand "
+            f"{a.shape} (need b.shape[-2] == {a.shape[1]})"
+        )
+
+
 def gather_spmm(a: CSR, b: jnp.ndarray) -> jnp.ndarray:
     """XLA gather/scatter-add SpMM (differentiable; low-fill perf path)."""
+    _check_spmm_b(a, b)
     if b.ndim == 3:
         return jax.lax.map(lambda bb: gather_spmm(a, bb), b)
     try:  # concrete pattern: expand rows once on host, a trace constant
@@ -329,6 +342,7 @@ def naive_spmm(a: CSR, b: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
     reduce='sum' is differentiable; other reducers (mean/max/min/mul, the
     reference Reducer modes) are forward-only.
     """
+    _check_spmm_b(a, b)
     if b.ndim == 3:
         return jax.lax.map(lambda bb: naive_spmm(a, bb, reduce), b)
     if reduce == "sum":
@@ -497,6 +511,12 @@ def spmm(
     if b.ndim == 1:  # SpMV: lift to one-column SpMM (reference matmuls.py:39-41
         # does the analogous 1-D fallback on the dense path)
         return spmm(a, b[:, None], method, reduce, blocksize)[..., 0]
+    _check_spmm_b(a, b)
+    if b.ndim > 3:  # fold leading batch dims (reference folds 4-D batches
+        # on the dense path, custom_mm.cpp:125-164, and loops otherwise)
+        lead = b.shape[:-2]
+        out = spmm(a, b.reshape((-1,) + b.shape[-2:]), method, reduce, blocksize)
+        return out.reshape(lead + out.shape[-2:])
     if reduce != "sum" and method in ("auto", "reference"):
         if b.ndim == 3:
             return jax.lax.map(lambda bb: spmm_reference(a, bb, reduce=reduce), b)

@@ -98,6 +98,10 @@ def pallas_precision(override: Optional[str] = None):
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": "bf16x3",
+        # explicit 3-pass name, backend-independent: unlike 'high' it does
+        # NOT fall back to HIGHEST off-TPU, so CPU interpret-mode tests can
+        # cover the manual bf16-split kernel branch.
+        "bf16x3": "bf16x3",
         "default": jax.lax.Precision.DEFAULT,
     }[name]
 
