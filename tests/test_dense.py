@@ -83,3 +83,21 @@ def test_bmm_validates(rng):
         dense.bmm(a, jnp.ones((3, 4, 5)))
     out = dense.bmm(a, jnp.ones((2, 4, 5)))
     assert out.shape == (2, 3, 5)
+
+
+def test_split_bf16_rtn_roundtrip_under_jit(rng):
+    """The XLA-safe hi/lo split must survive jit: the naive arithmetic
+    split is folded away by XLA's simplifier on TPU (lo -> ~0, degrading
+    the 3-pass mode from ~7e-7 to ~3e-4 rel err). The bit-masked split's
+    roundtrip error must stay at the lo-rounding scale (~2^-17 relative),
+    NOT the bf16 scale (2^-9) that folding produces."""
+    from tpusparse.dense import split_bf16_rtn
+
+    x = jnp.asarray(rng.uniform(0.1, 4.0, size=(64, 256)).astype(np.float32))
+    hi, lo = jax.jit(split_bf16_rtn)(x)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    rt = np.asarray(hi.astype(jnp.float32) + lo.astype(jnp.float32))
+    err = np.abs(rt - np.asarray(x)).max()
+    assert err < 4.0 * 2.0**-17, err
+    # lo really carries the remainder (not folded to zero)
+    assert np.abs(np.asarray(lo, np.float32)).max() > 2.0**-12

@@ -239,3 +239,61 @@ def test_tiled_spmm_bf16x3_precision(rng):
     np.testing.assert_allclose(
         np.asarray(out), expected, rtol=1e-4, atol=5e-5
     )
+
+
+@pytest.mark.parametrize("shape_a", SHAPE_GRID)
+@pytest.mark.parametrize("density", [0.01, 0.1])
+@pytest.mark.parametrize("rows_per_super", [1, 4])
+def test_footprint_spmm_vs_reference(rng, shape_a, density, rows_per_super):
+    from tpusparse.kernels.tiled_spmm import footprint_spmm_pallas
+    from tpusparse.plan import footprint_plan
+
+    a, b = _case(31, shape_a, density, 40, rng)
+    fp = footprint_plan(build_plan(a, blocksize=(8, 16)), rows_per_super)
+    out = footprint_spmm_pallas(fp, fp.pack_values(a.data), b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_footprint_plan_invariants(rng):
+    from tpusparse.plan import footprint_plan
+
+    a = random_csr(32, (256, 192), 0.07)
+    plan = build_plan(a, blocksize=(8, 16))
+    fp = footprint_plan(plan, rows_per_super=8)
+    # same occupied blocks, fewer B-tile fetches than slots
+    assert fp.nblocks == plan.nblocks
+    assert fp.ntiles == int(np.asarray(fp.ucnt).sum()) <= fp.nblocks
+    # slots sorted by column within each super-row; bslot/newcol consistent
+    sbase = np.asarray(fp.sbase)
+    bslot, newcol = np.asarray(fp.bslot), np.asarray(fp.newcol)
+    for s in range(fp.num_supers):
+        lo, hi = sbase[s], sbase[s + 1]
+        if hi > lo:
+            assert newcol[lo] == 1 and bslot[lo] == 0
+            assert (np.diff(bslot[lo:hi]) == newcol[lo + 1:hi]).all()
+            assert bslot[hi - 1] == np.asarray(fp.ucnt)[s] - 1
+    # value pack/unpack roundtrip
+    bv = fp.pack_values(a.data)
+    np.testing.assert_array_equal(
+        np.asarray(fp.unpack_values(bv)), np.asarray(a.data)
+    )
+
+
+def test_footprint_spmm_multi_n_tile(rng):
+    from tpusparse.kernels.tiled_spmm import footprint_spmm_pallas
+    from tpusparse.plan import footprint_plan
+    from tpusparse.utils.config import set_config
+
+    a = random_csr(33, (128, 256), 0.05)
+    b = jnp.asarray(rng.random((256, 384), dtype=np.float32))
+    fp = footprint_plan(build_plan(a, blocksize=(8, 32)), rows_per_super=4)
+    set_config(spmm_block_n=128)  # force 3 N tiles
+    try:
+        out = footprint_spmm_pallas(fp, fp.pack_values(a.data), b)
+    finally:
+        set_config(spmm_block_n=512)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
+    )

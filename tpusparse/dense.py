@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tpusparse.kernels.gemm import gemm_pallas
@@ -34,6 +35,26 @@ def _precision():
     return _PRECISION[get_config().precision]
 
 
+def split_bf16_rtn(x: jnp.ndarray):
+    """(hi, lo) bf16 split of fp32 x, safe under jit on TPU.
+
+    The naive split `lo = x - x.astype(bf16).astype(f32)` is FOLDED AWAY
+    by XLA's algebraic simplifier inside jit on TPU (lo collapses to ~0,
+    silently degrading the 3-pass mode from ~7e-7 to ~3e-4 rel err —
+    eager calls are unaffected, which is how it hid). Computing hi by
+    integer rounding+masking of the raw bits gives XLA nothing to fold:
+    add 0x8000 (round half away) then clear the low 16 bits — exactly
+    bf16 round-to-nearest up to ties. Measured 9e-7 rel err at k=512
+    inside jit on v5e. (Pallas kernels keep the arithmetic split —
+    Mosaic does not perform this folding; see kernels/mxu.py.)
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        (u + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
+
+
 def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """jnp.matmul honoring the configured precision.
 
@@ -48,10 +69,8 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         and b.dtype == jnp.float32
         and jax.default_backend() == "tpu"  # CPU matmul is native fp32
     ):
-        a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        a_hi, a_lo = split_bf16_rtn(a)
+        b_hi, b_lo = split_bf16_rtn(b)
         kw = dict(preferred_element_type=jnp.float32)
         return (
             jnp.matmul(a_hi, b_hi, **kw)
@@ -70,10 +89,8 @@ def einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         and b.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     ):
-        a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        a_hi, a_lo = split_bf16_rtn(a)
+        b_hi, b_lo = split_bf16_rtn(b)
         kw = dict(preferred_element_type=jnp.float32)
         return (
             jnp.einsum(spec, a_hi, b_hi, **kw)

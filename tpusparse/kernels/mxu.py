@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 
 def _split_bf16(x: jnp.ndarray):
+    # The arithmetic split is safe HERE because Mosaic does not run XLA's
+    # algebraic simplifier; in XLA-compiled (non-Pallas) code this exact
+    # pattern is folded away under jit on TPU (lo -> ~0) — those paths
+    # must use dense.split_bf16_rtn (bit-masked) instead.
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo

@@ -484,3 +484,196 @@ def grouped_spmm_pallas(
     )
 
     return out[:m, :n]
+
+
+# -----------------------------------------------------------------------------
+# Footprint executor — B-tile reuse across a super-row-block (the TPU analog
+# of the reference's footprint compression, sparse_mm.cu:163-187). The
+# per-row-block executors are HBM-bound with B tiles ~2/3 of traffic; sorting
+# a super-row's slots by column lets each distinct column's B tile be DMA'd
+# once and consumed by every block of the super-row in that column.
+# -----------------------------------------------------------------------------
+
+FP_BDEPTH = 8  # outstanding distinct-B-tile DMAs
+FP_VDEPTH = 8  # outstanding value-block DMAs
+
+
+def _footprint_kernel(
+    ucols_ref,  # (ns*Lu,) int32, SMEM: distinct col ids per super
+    ucnt_ref,  # (ns,) int32, SMEM
+    sbase_ref,  # (ns+1,) int32, SMEM
+    lrow_ref,  # (nblocks,) int32, SMEM: local row-block of each slot
+    bslot_ref,  # (nblocks,) int32, SMEM: distinct-col ordinal of each slot
+    newcol_ref,  # (nblocks,) int32, SMEM: 1 iff slot starts a new col
+    vals_hbm,  # (nblocks, bm, bk) ANY/HBM
+    b_hbm,  # (kp, np) ANY/HBM
+    o_ref,  # (S*bm, bn) VMEM block
+    btile,  # (FP_BDEPTH, bk, bn) VMEM scratch
+    vtile,  # (FP_VDEPTH, bm, bk) VMEM scratch
+    bsem,
+    vsem,
+    *,
+    u_width: int,
+    bn: int,
+    bm: int,
+    precision,
+):
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    bk = btile.shape[1]
+    base = sbase_ref[s]
+    nvalid = sbase_ref[s + 1] - base
+    nuc = ucnt_ref[s]
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+    def issue_b(t):  # t = distinct-col ordinal within the super-row
+        col = ucols_ref[s * u_width + t]
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(col * bk, bk), pl.ds(j * bn, bn)],
+            btile.at[t % FP_BDEPTH],
+            bsem.at[t % FP_BDEPTH],
+        ).start()
+
+    def issue_v(l):
+        pltpu.make_async_copy(
+            vals_hbm.at[base + l], vtile.at[l % FP_VDEPTH], vsem.at[l % FP_VDEPTH]
+        ).start()
+
+    for u in range(FP_BDEPTH - 1):
+        @pl.when(u < nuc)
+        def _():
+            issue_b(u)
+
+    for u in range(FP_VDEPTH - 1):
+        @pl.when(u < nvalid)
+        def _():
+            issue_v(u)
+
+    def body(l, carry):
+        g = base + l
+
+        @pl.when(l + FP_VDEPTH - 1 < nvalid)
+        def _():
+            issue_v(l + FP_VDEPTH - 1)
+
+        t = bslot_ref[g]
+
+        # first consumer of a tile waits for its DMA and tops up the ring;
+        # later consumers in the same column read the landed tile directly
+        # (iterations are sequential, so the wait has already happened)
+        @pl.when(newcol_ref[g] == 1)
+        def _():
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(0, bk), pl.ds(0, bn)],  # shape-only descriptor
+                btile.at[t % FP_BDEPTH],
+                bsem.at[t % FP_BDEPTH],
+            ).wait()
+
+            @pl.when(t + FP_BDEPTH - 1 < nuc)
+            def _():
+                issue_b(t + FP_BDEPTH - 1)
+
+        pltpu.make_async_copy(
+            vals_hbm.at[0], vtile.at[l % FP_VDEPTH], vsem.at[l % FP_VDEPTH]
+        ).wait()
+        contrib = mxu.dot(vtile[l % FP_VDEPTH], btile[t % FP_BDEPTH], precision)
+        o_ref[pl.ds(lrow_ref[g] * bm, bm), :] += contrib.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nvalid, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "out_dtype", "precision"),
+)
+def footprint_spmm_pallas(
+    fplan,
+    block_vals: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_n: int | None = None,
+    out_dtype=None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """C = A @ B for a FootprintPlan (B-tile-reuse executor).
+
+    block_vals: (fplan.nblocks, bm, bk) from fplan.pack_values(csr.data).
+    """
+    m, k = fplan.shape
+    bm, bk = fplan.blocksize
+    S = fplan.rows_per_super
+    if b.ndim != 2 or b.shape[0] != k:
+        raise ValueError(f"b shape {b.shape} incompatible with plan k={k}")
+    n = b.shape[1]
+    cfg = get_config()
+    out_dtype = out_dtype or jnp.result_type(block_vals.dtype, b.dtype)
+
+    bn = min(block_n or cfg.spmm_block_n, round_up(n, 128))
+    kp = fplan.num_col_blocks * bk
+    np_ = round_up(n, bn)
+    if (kp, np_) != b.shape:
+        b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+
+    ns = fplan.num_supers
+    Lu = fplan.u_width
+    grid = (ns, np_ // bn)
+
+    resolved = pallas_precision(precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (S * bm, bn),
+            lambda s, j, *refs: (s, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((FP_BDEPTH, bk, bn), b.dtype),
+            pltpu.VMEM((FP_VDEPTH, bm, bk), block_vals.dtype),
+            pltpu.SemaphoreType.DMA((FP_BDEPTH,)),
+            pltpu.SemaphoreType.DMA((FP_VDEPTH,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _footprint_kernel,
+            u_width=Lu,
+            bn=bn,
+            bm=bm,
+            precision=resolved,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ns * S * bm, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * fplan.nblocks * bm * bk * np_,
+            bytes_accessed=(
+                fplan.nblocks * bm * bk
+                + fplan.ntiles * bk * np_
+                + ns * S * bm * np_
+            )
+            * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(
+        fplan.ucols.reshape(-1),
+        fplan.ucnt,
+        fplan.sbase,
+        fplan.lrow,
+        fplan.bslot,
+        fplan.newcol,
+        block_vals,
+        b,
+    )
+
+    return out[:m, :n]

@@ -571,6 +571,190 @@ def group_plan(plan: Plan, group_size: int = 64) -> GroupedPlan:
 _GROUPED_CACHE: Dict[Tuple[str, int], "GroupedPlan"] = {}
 
 
+# -- footprint plan (B-tile-reuse executor) -----------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class FootprintPlan:
+    """Slots of S consecutive row-blocks sorted by column — the TPU analog
+    of the reference's footprint compression (sparse_mm.cu:163-187: per
+    1024-row thread-block, compute the set of B rows touched and stage
+    each exactly once in shared memory).
+
+    Roofline motivation (measured on the v5e headline workload): the
+    per-row-block executors are HBM-bandwidth-bound, and ~2/3 of their
+    traffic is B tiles, each re-fetched by every row-block that touches
+    its column. Here one kernel cell owns a super-row-block of S
+    row-blocks; its slots are sorted by column-block, so each *distinct*
+    column's B tile is DMA'd once per super-row and consumed by all of
+    that super-row's blocks in that column. Expected B-traffic reduction
+    at 10% block fill, S=16: ~2x (1-(1-p)^S distinct vs S·p total).
+
+    Values are compact (no ELL padding) in slot-stream order and ride
+    their own DMA ring, as in CompactPlan.
+    """
+
+    ucols: jnp.ndarray  # (ns, Lu) int32: distinct col-block ids per super
+    ucnt: jnp.ndarray  # (ns,) int32: number of distinct col-blocks
+    sbase: jnp.ndarray  # (ns + 1,) int32: slot-stream range per super
+    lrow: jnp.ndarray  # (nblocks,) int32: row-block within super (0..S-1)
+    bslot: jnp.ndarray  # (nblocks,) int32: distinct-col ordinal of the slot
+    newcol: jnp.ndarray  # (nblocks,) int32: 1 iff slot starts a new col
+    scatter_idx: jnp.ndarray  # (nnz,) int64: csr nnz -> flat packed vals idx
+    shape: Shape2
+    blocksize: Shape2
+    rows_per_super: int  # S
+    u_width: int  # Lu
+    nnz: int
+    nblocks: int
+    ntiles: int  # total distinct (super, col) B-tile fetches
+
+    def tree_flatten(self):
+        children = (
+            self.ucols,
+            self.ucnt,
+            self.sbase,
+            self.lrow,
+            self.bslot,
+            self.newcol,
+            self.scatter_idx,
+        )
+        aux = (
+            self.shape,
+            self.blocksize,
+            self.rows_per_super,
+            self.u_width,
+            self.nnz,
+            self.nblocks,
+            self.ntiles,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        ucols, ucnt, sbase, lrow, bslot, newcol, scatter_idx = children
+        shape, blocksize, rows_per_super, u_width, nnz, nblocks, ntiles = aux
+        return cls(
+            ucols=ucols,
+            ucnt=ucnt,
+            sbase=sbase,
+            lrow=lrow,
+            bslot=bslot,
+            newcol=newcol,
+            scatter_idx=scatter_idx,
+            shape=shape,
+            blocksize=blocksize,
+            rows_per_super=rows_per_super,
+            u_width=u_width,
+            nnz=nnz,
+            nblocks=nblocks,
+            ntiles=ntiles,
+        )
+
+    @property
+    def num_row_blocks(self) -> int:
+        return cdiv(self.shape[0], self.blocksize[0])
+
+    @property
+    def num_col_blocks(self) -> int:
+        return cdiv(self.shape[1], self.blocksize[1])
+
+    @property
+    def num_supers(self) -> int:
+        return cdiv(self.num_row_blocks, self.rows_per_super)
+
+    def pack_values(self, data: jnp.ndarray) -> jnp.ndarray:
+        bm, bk = self.blocksize
+        flat = jnp.zeros((self.nblocks * bm * bk,), dtype=data.dtype)
+        flat = flat.at[self.scatter_idx].set(data)
+        return flat.reshape(self.nblocks, bm, bk)
+
+    def unpack_values(self, block_vals: jnp.ndarray) -> jnp.ndarray:
+        return block_vals.reshape(-1)[self.scatter_idx]
+
+
+def footprint_plan(plan: Plan, rows_per_super: int = 16) -> FootprintPlan:
+    """Derive the column-sorted super-row-block layout from an ELL Plan
+    (host-side, cached)."""
+    fp = hashlib.sha1(
+        np.asarray(plan.block_cols).tobytes()
+        + np.asarray(plan.nslots).tobytes()
+        + repr((plan.shape, plan.blocksize, "footprint")).encode()
+    ).hexdigest()
+    key = (fp, rows_per_super)
+    hit = _FOOTPRINT_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    bc = np.asarray(plan.block_cols)
+    ns_arr = np.asarray(plan.nslots)
+    nbr, L = bc.shape
+    S = rows_per_super
+    ns = cdiv(nbr, S)
+    bm, bk = plan.blocksize
+
+    valid = np.arange(L)[None, :] < ns_arr[:, None]
+    rb_ids, l_ids = np.nonzero(valid)
+    cols = bc[rb_ids, l_ids].astype(np.int64)
+    s_ids = rb_ids // S
+
+    order = np.lexsort((rb_ids, cols, s_ids))  # (super, col, row)
+    srt_s = s_ids[order]
+    srt_c = cols[order]
+    nblocks = len(order)
+
+    counts = np.bincount(srt_s, minlength=ns)
+    sbase = np.zeros(ns + 1, dtype=np.int64)
+    np.cumsum(counts, out=sbase[1:])
+
+    newcol = np.ones(nblocks, dtype=np.int32)
+    if nblocks > 1:
+        same = (srt_s[1:] == srt_s[:-1]) & (srt_c[1:] == srt_c[:-1])
+        newcol[1:][same] = 0
+    csum = np.cumsum(newcol)
+    start_csum = np.zeros(nblocks, dtype=np.int64)
+    if nblocks:
+        start_csum = csum[sbase[srt_s]]
+    bslot = (csum - start_csum).astype(np.int32)
+
+    ucnt = np.bincount(srt_s, weights=newcol, minlength=ns).astype(np.int32)
+    Lu = int(max(ucnt.max(initial=0), 1))
+    ucols = np.zeros((ns, Lu), dtype=np.int32)
+    is_new = newcol == 1
+    ucols[srt_s[is_new], bslot[is_new]] = srt_c[is_new].astype(np.int32)
+
+    # remap nnz scatter destinations: old ELL slot rb*L+l -> stream position
+    old_slot_sorted = (rb_ids * np.int64(L) + l_ids)[order]
+    o2n = np.zeros(nbr * L, dtype=np.int64)
+    o2n[old_slot_sorted] = np.arange(nblocks, dtype=np.int64)
+    bb = bm * bk
+    old_scatter = np.asarray(plan.scatter_idx, dtype=np.int64)
+    scatter_idx = o2n[old_scatter // bb] * bb + old_scatter % bb
+
+    fpl = FootprintPlan(
+        ucols=ucols,
+        ucnt=ucnt,
+        sbase=sbase.astype(np.int32),
+        lrow=(rb_ids[order] % S).astype(np.int32),
+        bslot=bslot,
+        newcol=newcol,
+        scatter_idx=scatter_idx,
+        shape=plan.shape,
+        blocksize=plan.blocksize,
+        rows_per_super=S,
+        u_width=Lu,
+        nnz=plan.nnz,
+        nblocks=nblocks,
+        ntiles=int(newcol.sum()),
+    )
+    _FOOTPRINT_CACHE[key] = fpl
+    return fpl
+
+
+_FOOTPRINT_CACHE: Dict[Tuple[str, int], "FootprintPlan"] = {}
+
+
 # -- plan cache ---------------------------------------------------------------
 
 _PLAN_CACHE: Dict[str, Plan] = {}
