@@ -266,14 +266,14 @@ def test_footprint_plan_invariants(rng):
     assert fp.nblocks == plan.nblocks
     assert fp.ntiles == int(np.asarray(fp.ucnt).sum()) <= fp.nblocks
     # slots sorted by column within each super-row; bslot/newcol consistent
-    sbase = np.asarray(fp.sbase)
+    nslots = np.asarray(fp.nslots)
     bslot, newcol = np.asarray(fp.bslot), np.asarray(fp.newcol)
     for s in range(fp.num_supers):
-        lo, hi = sbase[s], sbase[s + 1]
-        if hi > lo:
-            assert newcol[lo] == 1 and bslot[lo] == 0
-            assert (np.diff(bslot[lo:hi]) == newcol[lo + 1:hi]).all()
-            assert bslot[hi - 1] == np.asarray(fp.ucnt)[s] - 1
+        c = nslots[s]
+        if c > 0:
+            assert newcol[s, 0] == 1 and bslot[s, 0] == 0
+            assert (np.diff(bslot[s, :c]) == newcol[s, 1:c]).all()
+            assert bslot[s, c - 1] == np.asarray(fp.ucnt)[s] - 1
     # value pack/unpack roundtrip
     bv = fp.pack_values(a.data)
     np.testing.assert_array_equal(

@@ -271,6 +271,15 @@ def compact_spmm_pallas(
     bm, bk = cplan.blocksize
     if b.ndim != 2 or b.shape[0] != k:
         raise ValueError(f"b shape {b.shape} incompatible with plan k={k}")
+    if bk % 128 and not interpret_mode():
+        # Mosaic cannot DMA-slice HBM value tiles whose minor dim is not
+        # 128-aligned ("Slice shape ... must be aligned to tiling"); the
+        # ELL and footprint executors feed values through the grid
+        # pipeline and have no such restriction.
+        raise ValueError(
+            f"compact executor needs block_k % 128 == 0 on TPU (got {bk}); "
+            "use the ELL (tiled_spmm_pallas) or footprint executor"
+        )
     n = b.shape[1]
     cfg = get_config()
     out_dtype = out_dtype or jnp.result_type(block_vals.dtype, b.dtype)
@@ -495,25 +504,23 @@ def grouped_spmm_pallas(
 # -----------------------------------------------------------------------------
 
 FP_BDEPTH = 8  # outstanding distinct-B-tile DMAs
-FP_VDEPTH = 8  # outstanding value-block DMAs
 
 
 def _footprint_kernel(
     ucols_ref,  # (ns*Lu,) int32, SMEM: distinct col ids per super
     ucnt_ref,  # (ns,) int32, SMEM
-    sbase_ref,  # (ns+1,) int32, SMEM
-    lrow_ref,  # (nblocks,) int32, SMEM: local row-block of each slot
-    bslot_ref,  # (nblocks,) int32, SMEM: distinct-col ordinal of each slot
-    newcol_ref,  # (nblocks,) int32, SMEM: 1 iff slot starts a new col
-    vals_hbm,  # (nblocks, bm, bk) ANY/HBM
+    nslots_ref,  # (ns,) int32, SMEM
+    lrow_ref,  # (ns*Ls,) int32, SMEM: local row-block of each slot
+    bslot_ref,  # (ns*Ls,) int32, SMEM: distinct-col ordinal of each slot
+    newcol_ref,  # (ns*Ls,) int32, SMEM: 1 iff slot starts a new col
+    vals_ref,  # (1, Ls, bm, bk) VMEM block for this super-row
     b_hbm,  # (kp, np) ANY/HBM
     o_ref,  # (S*bm, bn) VMEM block
     btile,  # (FP_BDEPTH, bk, bn) VMEM scratch
-    vtile,  # (FP_VDEPTH, bm, bk) VMEM scratch
     bsem,
-    vsem,
     *,
     u_width: int,
+    ell_width: int,
     bn: int,
     bm: int,
     precision,
@@ -521,8 +528,7 @@ def _footprint_kernel(
     s = pl.program_id(0)
     j = pl.program_id(1)
     bk = btile.shape[1]
-    base = sbase_ref[s]
-    nvalid = sbase_ref[s + 1] - base
+    nvalid = nslots_ref[s]
     nuc = ucnt_ref[s]
     o_ref[:] = jnp.zeros_like(o_ref)
 
@@ -534,33 +540,18 @@ def _footprint_kernel(
             bsem.at[t % FP_BDEPTH],
         ).start()
 
-    def issue_v(l):
-        pltpu.make_async_copy(
-            vals_hbm.at[base + l], vtile.at[l % FP_VDEPTH], vsem.at[l % FP_VDEPTH]
-        ).start()
-
     for u in range(FP_BDEPTH - 1):
         @pl.when(u < nuc)
         def _():
             issue_b(u)
 
-    for u in range(FP_VDEPTH - 1):
-        @pl.when(u < nvalid)
-        def _():
-            issue_v(u)
-
     def body(l, carry):
-        g = base + l
-
-        @pl.when(l + FP_VDEPTH - 1 < nvalid)
-        def _():
-            issue_v(l + FP_VDEPTH - 1)
-
+        g = s * ell_width + l
         t = bslot_ref[g]
 
         # first consumer of a tile waits for its DMA and tops up the ring;
         # later consumers in the same column read the landed tile directly
-        # (iterations are sequential, so the wait has already happened)
+        # (fori iterations are sequential, so the wait has already happened)
         @pl.when(newcol_ref[g] == 1)
         def _():
             pltpu.make_async_copy(
@@ -573,10 +564,7 @@ def _footprint_kernel(
             def _():
                 issue_b(t + FP_BDEPTH - 1)
 
-        pltpu.make_async_copy(
-            vals_hbm.at[0], vtile.at[l % FP_VDEPTH], vsem.at[l % FP_VDEPTH]
-        ).wait()
-        contrib = mxu.dot(vtile[l % FP_VDEPTH], btile[t % FP_BDEPTH], precision)
+        contrib = mxu.dot(vals_ref[0, l], btile[t % FP_BDEPTH], precision)
         o_ref[pl.ds(lrow_ref[g] * bm, bm), :] += contrib.astype(o_ref.dtype)
         return carry
 
@@ -598,7 +586,7 @@ def footprint_spmm_pallas(
 ) -> jnp.ndarray:
     """C = A @ B for a FootprintPlan (B-tile-reuse executor).
 
-    block_vals: (fplan.nblocks, bm, bk) from fplan.pack_values(csr.data).
+    block_vals: (fplan.num_slots, bm, bk) from fplan.pack_values(csr.data).
     """
     m, k = fplan.shape
     bm, bk = fplan.blocksize
@@ -617,14 +605,31 @@ def footprint_spmm_pallas(
 
     ns = fplan.num_supers
     Lu = fplan.u_width
+    Ls = fplan.ell_width
     grid = (ns, np_ // bn)
+
+    # the vals block and the S-row output block are both double-buffered by
+    # the pipeline; estimate before Mosaic hits its opaque scoped-vmem OOM
+    est_vmem = (
+        2 * Ls * bm * bk + 2 * S * bm * bn + FP_BDEPTH * bk * bn + bm * bn
+    ) * 4
+    if est_vmem > cfg.vmem_limit_bytes:
+        raise ValueError(
+            f"footprint plan needs ~{est_vmem >> 20} MiB VMEM "
+            f"(limit {cfg.vmem_limit_bytes >> 20} MiB): lower rows_per_super "
+            f"(S={S}, ell_width={Ls}) or block_n"
+        )
 
     resolved = pallas_precision(precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
+            pl.BlockSpec(
+                (1, Ls, bm, bk),
+                lambda s, j, *refs: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
         ],
         out_specs=pl.BlockSpec(
@@ -634,9 +639,7 @@ def footprint_spmm_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((FP_BDEPTH, bk, bn), b.dtype),
-            pltpu.VMEM((FP_VDEPTH, bm, bk), block_vals.dtype),
             pltpu.SemaphoreType.DMA((FP_BDEPTH,)),
-            pltpu.SemaphoreType.DMA((FP_VDEPTH,)),
         ],
     )
 
@@ -644,6 +647,7 @@ def footprint_spmm_pallas(
         functools.partial(
             _footprint_kernel,
             u_width=Lu,
+            ell_width=Ls,
             bn=bn,
             bm=bm,
             precision=resolved,
@@ -657,7 +661,7 @@ def footprint_spmm_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * fplan.nblocks * bm * bk * np_,
             bytes_accessed=(
-                fplan.nblocks * bm * bk
+                fplan.num_slots * bm * bk
                 + fplan.ntiles * bk * np_
                 + ns * S * bm * np_
             )
@@ -668,11 +672,11 @@ def footprint_spmm_pallas(
     )(
         fplan.ucols.reshape(-1),
         fplan.ucnt,
-        fplan.sbase,
-        fplan.lrow,
-        fplan.bslot,
-        fplan.newcol,
-        block_vals,
+        fplan.nslots,
+        fplan.lrow.reshape(-1),
+        fplan.bslot.reshape(-1),
+        fplan.newcol.reshape(-1),
+        block_vals.reshape(ns, Ls, bm, bk),
         b,
     )
 

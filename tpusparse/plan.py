@@ -588,24 +588,29 @@ class FootprintPlan:
     its column. Here one kernel cell owns a super-row-block of S
     row-blocks; its slots are sorted by column-block, so each *distinct*
     column's B tile is DMA'd once per super-row and consumed by all of
-    that super-row's blocks in that column. Expected B-traffic reduction
-    at 10% block fill, S=16: ~2x (1-(1-p)^S distinct vs S·p total).
+    that super-row's blocks in that column. B-tile fetch reduction at
+    block fill p: S·p / (1-(1-p)^S) — up to ~11x measured on low-fill
+    plans.
 
-    Values are compact (no ELL padding) in slot-stream order and ride
-    their own DMA ring, as in CompactPlan.
+    Values are ELL-padded per super-row (width Ls = max slots over
+    supers) and ride the normal grid pipeline: Mosaic cannot DMA-slice
+    HBM value tiles whose last dim is not 128-aligned, so the compact
+    per-slot vals ring is only legal for bk a multiple of 128 — the
+    grid-pipeline layout works for every blocksize.
     """
 
     ucols: jnp.ndarray  # (ns, Lu) int32: distinct col-block ids per super
     ucnt: jnp.ndarray  # (ns,) int32: number of distinct col-blocks
-    sbase: jnp.ndarray  # (ns + 1,) int32: slot-stream range per super
-    lrow: jnp.ndarray  # (nblocks,) int32: row-block within super (0..S-1)
-    bslot: jnp.ndarray  # (nblocks,) int32: distinct-col ordinal of the slot
-    newcol: jnp.ndarray  # (nblocks,) int32: 1 iff slot starts a new col
+    nslots: jnp.ndarray  # (ns,) int32: valid slots per super
+    lrow: jnp.ndarray  # (ns, Ls) int32: row-block within super (0..S-1)
+    bslot: jnp.ndarray  # (ns, Ls) int32: distinct-col ordinal of the slot
+    newcol: jnp.ndarray  # (ns, Ls) int32: 1 iff slot starts a new col
     scatter_idx: jnp.ndarray  # (nnz,) int64: csr nnz -> flat packed vals idx
     shape: Shape2
     blocksize: Shape2
     rows_per_super: int  # S
     u_width: int  # Lu
+    ell_width: int  # Ls
     nnz: int
     nblocks: int
     ntiles: int  # total distinct (super, col) B-tile fetches
@@ -614,7 +619,7 @@ class FootprintPlan:
         children = (
             self.ucols,
             self.ucnt,
-            self.sbase,
+            self.nslots,
             self.lrow,
             self.bslot,
             self.newcol,
@@ -625,6 +630,7 @@ class FootprintPlan:
             self.blocksize,
             self.rows_per_super,
             self.u_width,
+            self.ell_width,
             self.nnz,
             self.nblocks,
             self.ntiles,
@@ -633,12 +639,13 @@ class FootprintPlan:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        ucols, ucnt, sbase, lrow, bslot, newcol, scatter_idx = children
-        shape, blocksize, rows_per_super, u_width, nnz, nblocks, ntiles = aux
+        ucols, ucnt, nslots, lrow, bslot, newcol, scatter_idx = children
+        (shape, blocksize, rows_per_super, u_width, ell_width, nnz, nblocks,
+         ntiles) = aux
         return cls(
             ucols=ucols,
             ucnt=ucnt,
-            sbase=sbase,
+            nslots=nslots,
             lrow=lrow,
             bslot=bslot,
             newcol=newcol,
@@ -647,6 +654,7 @@ class FootprintPlan:
             blocksize=blocksize,
             rows_per_super=rows_per_super,
             u_width=u_width,
+            ell_width=ell_width,
             nnz=nnz,
             nblocks=nblocks,
             ntiles=ntiles,
@@ -664,11 +672,15 @@ class FootprintPlan:
     def num_supers(self) -> int:
         return cdiv(self.num_row_blocks, self.rows_per_super)
 
+    @property
+    def num_slots(self) -> int:
+        return self.num_supers * self.ell_width
+
     def pack_values(self, data: jnp.ndarray) -> jnp.ndarray:
         bm, bk = self.blocksize
-        flat = jnp.zeros((self.nblocks * bm * bk,), dtype=data.dtype)
+        flat = jnp.zeros((self.num_slots * bm * bk,), dtype=data.dtype)
         flat = flat.at[self.scatter_idx].set(data)
-        return flat.reshape(self.nblocks, bm, bk)
+        return flat.reshape(self.num_slots, bm, bk)
 
     def unpack_values(self, block_vals: jnp.ndarray) -> jnp.ndarray:
         return block_vals.reshape(-1)[self.scatter_idx]
@@ -707,27 +719,36 @@ def footprint_plan(plan: Plan, rows_per_super: int = 16) -> FootprintPlan:
     counts = np.bincount(srt_s, minlength=ns)
     sbase = np.zeros(ns + 1, dtype=np.int64)
     np.cumsum(counts, out=sbase[1:])
+    Ls = int(max(counts.max(initial=0), 1))
+    pos = np.arange(nblocks, dtype=np.int64) - sbase[srt_s]
 
-    newcol = np.ones(nblocks, dtype=np.int32)
+    newcol_flat = np.ones(nblocks, dtype=np.int32)
     if nblocks > 1:
         same = (srt_s[1:] == srt_s[:-1]) & (srt_c[1:] == srt_c[:-1])
-        newcol[1:][same] = 0
-    csum = np.cumsum(newcol)
-    start_csum = np.zeros(nblocks, dtype=np.int64)
-    if nblocks:
-        start_csum = csum[sbase[srt_s]]
-    bslot = (csum - start_csum).astype(np.int32)
+        newcol_flat[1:][same] = 0
+    csum = np.cumsum(newcol_flat)
+    start_csum = csum[sbase[srt_s]] if nblocks else np.zeros(0, np.int64)
+    bslot_flat = (csum - start_csum).astype(np.int32)
 
-    ucnt = np.bincount(srt_s, weights=newcol, minlength=ns).astype(np.int32)
+    ucnt = np.bincount(srt_s, weights=newcol_flat, minlength=ns).astype(np.int32)
     Lu = int(max(ucnt.max(initial=0), 1))
     ucols = np.zeros((ns, Lu), dtype=np.int32)
-    is_new = newcol == 1
-    ucols[srt_s[is_new], bslot[is_new]] = srt_c[is_new].astype(np.int32)
+    is_new = newcol_flat == 1
+    ucols[srt_s[is_new], bslot_flat[is_new]] = srt_c[is_new].astype(np.int32)
 
-    # remap nnz scatter destinations: old ELL slot rb*L+l -> stream position
+    # padded per-super ELL layout (pad slots never execute: l >= nslots[s];
+    # bslot pads repeat the last valid ordinal so no stray B fetch is issued)
+    lrow = np.zeros((ns, Ls), dtype=np.int32)
+    bslot = np.zeros((ns, Ls), dtype=np.int32)
+    newcol = np.zeros((ns, Ls), dtype=np.int32)
+    lrow[srt_s, pos] = (rb_ids[order] % S).astype(np.int32)
+    bslot[srt_s, pos] = bslot_flat
+    newcol[srt_s, pos] = newcol_flat
+
+    # remap nnz scatter destinations: old ELL slot rb*L+l -> s*Ls+pos
     old_slot_sorted = (rb_ids * np.int64(L) + l_ids)[order]
     o2n = np.zeros(nbr * L, dtype=np.int64)
-    o2n[old_slot_sorted] = np.arange(nblocks, dtype=np.int64)
+    o2n[old_slot_sorted] = srt_s * np.int64(Ls) + pos
     bb = bm * bk
     old_scatter = np.asarray(plan.scatter_idx, dtype=np.int64)
     scatter_idx = o2n[old_scatter // bb] * bb + old_scatter % bb
@@ -735,8 +756,8 @@ def footprint_plan(plan: Plan, rows_per_super: int = 16) -> FootprintPlan:
     fpl = FootprintPlan(
         ucols=ucols,
         ucnt=ucnt,
-        sbase=sbase.astype(np.int32),
-        lrow=(rb_ids[order] % S).astype(np.int32),
+        nslots=counts.astype(np.int32),
+        lrow=lrow,
         bslot=bslot,
         newcol=newcol,
         scatter_idx=scatter_idx,
@@ -744,9 +765,10 @@ def footprint_plan(plan: Plan, rows_per_super: int = 16) -> FootprintPlan:
         blocksize=plan.blocksize,
         rows_per_super=S,
         u_width=Lu,
+        ell_width=Ls,
         nnz=plan.nnz,
         nblocks=nblocks,
-        ntiles=int(newcol.sum()),
+        ntiles=int(newcol_flat.sum()),
     )
     _FOOTPRINT_CACHE[key] = fpl
     return fpl
