@@ -267,3 +267,20 @@ def test_spmm_folds_4d_batches(rng):
             np.testing.assert_allclose(
                 out[i, j], _dense_ref(a, b4[i, j]), rtol=1e-4, atol=5e-5
             )
+
+
+def test_spmm_footprint_method(rng):
+    a = ts.random_csr(14, (96, 128), 0.08)
+    b = jnp.asarray(rng.normal(size=(128, 48)).astype(np.float32))
+    out = np.asarray(ts.spmm(a, b, method="footprint"))
+    np.testing.assert_allclose(out, _dense_ref(a, b), rtol=1e-4, atol=5e-5)
+    # gradients flow like the tiled path
+    def loss(data):
+        a2 = ts.CSR(data=data, indices=a.indices, indptr=a.indptr, shape=a.shape)
+        return jnp.sum(ts.footprint_spmm(a2, b) ** 2)
+    dA = np.asarray(jax.grad(loss)(a.data))
+    def loss_t(data):
+        a2 = ts.CSR(data=data, indices=a.indices, indptr=a.indptr, shape=a.shape)
+        return jnp.sum(ts.spmm(a2, b, method="tiled") ** 2)
+    dA_t = np.asarray(jax.grad(loss_t)(a.data))
+    np.testing.assert_allclose(dA, dA_t, rtol=1e-4, atol=5e-5)

@@ -40,6 +40,7 @@ from tpusparse.ops import (
     transab_mm,
     spmm,
     spmm_blocks,
+    footprint_spmm,
     gather_spmm,
     naive_spmm,
     tiled_spmm,
@@ -81,6 +82,7 @@ __all__ = [
     "transab_mm",
     "spmm",
     "spmm_blocks",
+    "footprint_spmm",
     "gather_spmm",
     "naive_spmm",
     "tiled_spmm",

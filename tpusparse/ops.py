@@ -28,7 +28,7 @@ import numpy as np
 from tpusparse import dense
 from tpusparse.kernels.naive_spmm import ell_pack, naive_spmm_pallas
 from tpusparse.kernels.sddmm import sddmm_pallas
-from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+from tpusparse.kernels.tiled_spmm import footprint_spmm_pallas, tiled_spmm_pallas
 from tpusparse.plan import Plan, build_plan_pair, _fingerprint
 from tpusparse.types import CSR, sddmm_reference, spmm_reference
 
@@ -134,6 +134,64 @@ def _tiled_spmm_bwd(res, g):
 
 
 _tiled_spmm.defvjp(_tiled_spmm_fwd, _tiled_spmm_bwd)
+
+
+@jax.custom_vjp
+def _footprint_spmm(plan: Plan, plan_t: Plan, t_perm, fplan, data, b):
+    return footprint_spmm_pallas(fplan, fplan.pack_values(data), b)
+
+
+def _footprint_spmm_fwd(plan, plan_t, t_perm, fplan, data, b):
+    return _footprint_spmm(plan, plan_t, t_perm, fplan, data, b), (
+        plan, plan_t, t_perm, fplan, data, b,
+    )
+
+
+def _footprint_spmm_bwd(res, g):
+    plan, plan_t, t_perm, fplan, data, b = res
+    # same gradient algebra as the tiled path: the backward kernels key on
+    # the base ELL plan, independent of the forward's footprint packing
+    d_data = plan.unpack_values(sddmm_pallas(plan, g, b))
+    db = tiled_spmm_pallas(plan_t, plan_t.pack_values(data[t_perm]), g)
+    return (
+        _zeros_tangent(plan),
+        _zeros_tangent(plan_t),
+        np.zeros(t_perm.shape, dtype=jax.dtypes.float0),
+        _zeros_tangent(fplan),
+        d_data,
+        db.astype(b.dtype),
+    )
+
+
+_footprint_spmm.defvjp(_footprint_spmm_fwd, _footprint_spmm_bwd)
+
+
+def footprint_spmm(
+    a: CSR,
+    b: jnp.ndarray,
+    blocksize: Optional[Tuple[int, int]] = None,
+    rows_per_super: int = 16,
+) -> jnp.ndarray:
+    """B-tile-reuse SpMM (footprint executor; see plan.FootprintPlan).
+
+    The TPU analog of the reference inspector's footprint compression
+    (sparse_mm.cu:163-187): one kernel cell owns `rows_per_super`
+    row-blocks with slots sorted by column, so each distinct column's B
+    tile is fetched once per super-row. Differentiable like tiled_spmm.
+    """
+    _check_spmm_b(a, b)
+    from tpusparse.plan import footprint_plan
+
+    plan, plan_t, t_perm = build_plan_pair(a, blocksize)
+    fplan = footprint_plan(plan, rows_per_super=rows_per_super)
+    if b.ndim == 2:
+        return _footprint_spmm(plan, plan_t, t_perm, fplan, a.data, b)
+    if b.ndim == 3:
+        return jax.lax.map(
+            lambda bb: _footprint_spmm(plan, plan_t, t_perm, fplan, a.data, bb),
+            b,
+        )
+    raise ValueError(f"footprint_spmm supports 2-D/3-D b, got {b.shape}")
 
 
 def tiled_spmm(
@@ -412,6 +470,11 @@ _GATHER_ROW_BW = 80e9
 _TILED_SLOT_OVERHEAD = 120e-9
 _TILED_BW = 600e9
 _DENSIFY_PER_NNZ = 9e-9
+# dense 'high' runs the manual 3-pass bf16 decomposition, measured at
+# ~43e12 fp32-equivalent FLOP/s on the shared v5e (16384^2 x 512) — NOT
+# the 6-pass HIGHEST rate in _ROOFLINE (which would overestimate dense
+# cost ~1.3x and misroute near the dense/tiled crossover)
+_DENSE_FP32_FLOPS = 43e12
 # the one-shot spmm API re-packs CSR values into block ELL form per call
 # (~5 ns/nnz XLA scatter); plan-reuse callers should hold weights in
 # packed form and call spmm_blocks instead — that path pays none of this
@@ -463,7 +526,7 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     )
     t_dense = (
         max(
-            2.0 * m * k * n / _ROOFLINE["peak_fp32_flops"],
+            2.0 * m * k * n / _DENSE_FP32_FLOPS,
             (m * k + k * n + m * n) * 4.0 / _ROOFLINE["hbm_bandwidth"],
         )
         + nnz * _DENSIFY_PER_NNZ
@@ -486,7 +549,9 @@ def spmm(
     """Sparse × dense matmul with method dispatch.
 
     methods: 'tiled' (inspector-executor Pallas, the MXU perf path),
-    'gather' (XLA take/scatter-add, the low-fill perf path), 'dense'
+    'footprint' (B-tile-reuse variant — one fetch per distinct column per
+    super-row-block), 'gather' (XLA take/scatter-add, the low-fill perf
+    path), 'dense'
     (densify + MXU matmul, the near-full regime), 'naive' (gather Pallas
     kernel, reference-parity path with reducer modes), 'reference'
     (pure-XLA segment ops), 'auto' (inspector cost model picks
@@ -525,6 +590,8 @@ def spmm(
         method = _route_spmm(a, b, blocksize)
     if method == "tiled":
         return tiled_spmm(a, b, blocksize=blocksize)
+    if method == "footprint":
+        return footprint_spmm(a, b, blocksize=blocksize)
     if method == "gather":
         return gather_spmm(a, b)
     if method == "dense":
