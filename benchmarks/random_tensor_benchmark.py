@@ -84,7 +84,9 @@ def time_contenders(dim, n_cols, sparsity, structured, seed):
         results["tiled_ms"] = device_time_per_iter(tiled_step, (bv, b), **TIMER) * 1e3
 
     # naive gather kernel only where its prefetched ELL arrays fit SMEM
-    if a.nnz <= 60_000:
+    from tpusparse.ops import resolve_ell_width
+
+    if (2 * dim * resolve_ell_width(a) + dim) * 4 <= 900_000:
         def naive_step(x):
             av, bb = x
             a2 = ts.CSR(data=av, indices=a.indices, indptr=a.indptr, shape=a.shape)

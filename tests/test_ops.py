@@ -174,3 +174,41 @@ def test_tiled_spmm_under_jit_no_retrace(rng):
     step(a.data, b)
     step(a.data * 2, b)
     assert traces == 1
+
+
+def test_naive_spmm_under_jit_uses_concrete_width(rng):
+    """Inside jit the CSR arrays are tracers; the ELL width must be
+    resolved at the public entry (concrete) or the kernel falls back to
+    width=k and overflows its 1MB SMEM prefetch budget (shipped bug:
+    ts.naive_spmm under jit OOM'd SMEM at 512x512 @ 10%)."""
+    from tpusparse.ops import resolve_ell_width
+
+    a = random_csr(40, (256, 256), 0.1)
+    assert resolve_ell_width(a) < 60  # max row nnz, not min(nnz, k)=256
+    b = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+
+    @jax.jit
+    def run(data, bb):
+        a2 = CSR(data=data, indices=a.indices, indptr=a.indptr, shape=a.shape)
+        return ops.naive_spmm(a2, bb)
+
+    out = np.asarray(run(a.data, b))
+    ref = np.asarray(a.to_dense(), np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-5)
+
+
+def test_naive_spmm_smem_guard():
+    from tpusparse.kernels.naive_spmm import naive_spmm_pallas
+    from tpusparse.utils.config import set_config
+
+    col_idx = jnp.zeros((2048, 512), jnp.int32)
+    vals = jnp.zeros((2048, 512), jnp.float32)
+    npr = jnp.zeros((2048,), jnp.int32)
+    set_config(interpret=False)
+    try:
+        with pytest.raises(ValueError, match="SMEM"):
+            naive_spmm_pallas(
+                (col_idx, vals, npr), (2048, 4096), jnp.zeros((4096, 64))
+            )
+    finally:
+        set_config(interpret=None)

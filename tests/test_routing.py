@@ -284,3 +284,31 @@ def test_spmm_footprint_method(rng):
         return jnp.sum(ts.spmm(a2, b, method="tiled") ** 2)
     dA_t = np.asarray(jax.grad(loss_t)(a.data))
     np.testing.assert_allclose(dA, dA_t, rtol=1e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "method", ["gather", "tiled", "naive", "dense", "footprint", "reference"]
+)
+def test_spmm_bf16_operands(rng, method):
+    """bf16 sparse values x bf16 dense flow through every route with
+    bf16-class accuracy (the reference is fp32-only; bf16 is the TPU
+    production dtype and must not silently upcast or crash)."""
+    dense_np = rng.normal(size=(64, 96)).astype(np.float32) * (
+        rng.random((64, 96)) < 0.1
+    )
+    a32 = ts.CSR.from_dense(dense_np)
+    a16 = ts.CSR(
+        data=jnp.asarray(a32.data).astype(jnp.bfloat16),
+        indices=a32.indices,
+        indptr=a32.indptr,
+        shape=a32.shape,
+    )
+    b16 = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ref = dense_np.astype(np.float64) @ np.asarray(
+        b16.astype(jnp.float32), np.float64
+    )
+    out = ts.spmm(a16, b16, method=method)
+    err = np.abs(np.asarray(out, np.float32) - ref).max() / np.abs(ref).max()
+    assert err < 0.05, (method, err)

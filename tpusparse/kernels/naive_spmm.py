@@ -124,6 +124,16 @@ def naive_spmm_pallas(
     n = b.shape[1]
     L = int(col_idx.shape[1])
 
+    # the ELL index/value/count streams ride scalar prefetch into SMEM,
+    # whose budget is ~1MB — fail with guidance instead of Mosaic's OOM
+    smem_bytes = (2 * m * L + m) * 4
+    if smem_bytes > 900_000 and not interpret_mode():
+        raise ValueError(
+            f"naive SpMM ELL arrays need ~{smem_bytes >> 10} KiB of SMEM "
+            f"(m={m}, ell_width={L}; budget ~900 KiB) — use method='gather' "
+            "or the tiled executor for patterns this large"
+        )
+
     bn = min(block_n, round_up(n, 128))
     mp = round_up(m, _ROW_TILE)
     np_ = round_up(n, bn)

@@ -255,19 +255,19 @@ spmm_blocks.defvjp(_spmm_blocks_fwd, _spmm_blocks_bwd)
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _naive_spmm(shape, csr_arrays, b):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _naive_spmm(shape, width, csr_arrays, b):
     data, indices, indptr = csr_arrays
     a = CSR(data=data, indices=indices, indptr=indptr, shape=shape)
-    ell = ell_pack_traced(a)
+    ell = ell_pack_traced(a, width=width)
     return naive_spmm_pallas(ell, shape, b, reduce="sum")
 
 
-def _naive_spmm_fwd(shape, csr_arrays, b):
-    return _naive_spmm(shape, csr_arrays, b), (csr_arrays, b)
+def _naive_spmm_fwd(shape, width, csr_arrays, b):
+    return _naive_spmm(shape, width, csr_arrays, b), (csr_arrays, b)
 
 
-def _naive_spmm_bwd(shape, res, g):
+def _naive_spmm_bwd(shape, width, res, g):
     (data, indices, indptr), b = res
     a = CSR(data=data, indices=indices, indptr=indptr, shape=shape)
     rows = a.row_ids()
@@ -354,20 +354,32 @@ def gather_spmm(a: CSR, b: jnp.ndarray) -> jnp.ndarray:
     return _gather_spmm(a.shape, (a.data, a.indices, rows), b)
 
 
-def ell_pack_traced(a: CSR):
-    """Jit-compatible ELL packing with width = static max row nnz.
+def resolve_ell_width(a: CSR) -> int:
+    """Static ELL width (max row nnz) for a CSR pattern.
 
-    The width must be a trace-time constant; it is derived from the host
-    ELL cache when indices are concrete, else conservatively from nnz.
+    MUST be called where the pattern arrays are still concrete — inside a
+    custom_vjp or jit body they are tracers and only the worst-case
+    min(nnz, k) bound is available, which overflows the kernel's 1MB SMEM
+    prefetch budget on all but tiny shapes (this exact failure shipped:
+    `ts.naive_spmm` under jit OOM'd SMEM at 512x512 @ 10%).
     """
     key = _ell_cache_key(a)
     if key is not None and key in _ELL_CACHE:
-        width = _ELL_CACHE[key]
-    elif key is not None:
+        return _ELL_CACHE[key]
+    if key is not None:
         width = int(np.diff(np.asarray(a.indptr)).max(initial=1))
         _ELL_CACHE[key] = width
-    else:  # traced indptr: worst case
-        width = min(a.nnz, a.shape[1]) or 1
+        return width
+    return min(a.nnz, a.shape[1]) or 1  # traced indptr: worst case
+
+
+def ell_pack_traced(a: CSR, width: int | None = None):
+    """Jit-compatible ELL packing with width = static max row nnz.
+
+    The width must be a trace-time constant; pass it explicitly when the
+    pattern arrays may be tracers (see resolve_ell_width).
+    """
+    width = width or resolve_ell_width(a)
     m = a.shape[0]
     rows = a.row_ids()
     pos = jnp.arange(a.nnz, dtype=jnp.int32) - a.indptr[rows]
@@ -403,9 +415,12 @@ def naive_spmm(a: CSR, b: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
     _check_spmm_b(a, b)
     if b.ndim == 3:
         return jax.lax.map(lambda bb: naive_spmm(a, bb, reduce), b)
+    width = resolve_ell_width(a)  # here, before the pattern turns traced
     if reduce == "sum":
-        return _naive_spmm(a.shape, (a.data, a.indices, a.indptr), b)
-    return naive_spmm_pallas(ell_pack_traced(a), a.shape, b, reduce=reduce)
+        return _naive_spmm(a.shape, width, (a.data, a.indices, a.indptr), b)
+    return naive_spmm_pallas(
+        ell_pack_traced(a, width=width), a.shape, b, reduce=reduce
+    )
 
 
 # ----------------------------------------------------------------------------
