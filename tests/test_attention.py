@@ -126,3 +126,71 @@ def test_bert_layer_local_variant(rng):
     params = layer.init(jax.random.PRNGKey(0), x)
     out = layer.apply(params, x)
     assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+class TestFlashAttention:
+    def test_kernel_vs_reference(self, rng):
+        from tpusparse.kernels.flash_attention import (
+            _reference_attention, flash_attention)
+
+        for (b, h, s, d, causal) in [
+            (2, 3, 256, 64, False), (1, 2, 384, 64, True),
+            (1, 1, 200, 64, False),  # ragged seq exercises key masking
+        ]:
+            q, k, v = (
+                jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+                for _ in range(3)
+            )
+            out = np.asarray(
+                flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+            )
+            ref = np.asarray(
+                _reference_attention(q, k, v, causal, 1.0 / np.sqrt(d))
+            )
+            err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1)
+            assert err < 2e-5, (b, h, s, d, causal, err)
+
+    def test_grads_match_unfused(self, rng):
+        from tpusparse.kernels.flash_attention import (
+            _reference_attention, flash_attention_diff)
+
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(1, 2, 128, 64)).astype(np.float32))
+            for _ in range(3)
+        )
+        g1 = jax.grad(lambda x: jnp.sum(flash_attention_diff(x, k, v) ** 2))(q)
+        g2 = jax.grad(
+            lambda x: jnp.sum(_reference_attention(x, k, v, False, 0.125) ** 2)
+        )(q)
+        err = np.abs(np.asarray(g1) - np.asarray(g2)).max() / np.abs(
+            np.asarray(g2)
+        ).max()
+        assert err < 1e-4, err
+
+    def test_layer_fused_matches_unfused(self, rng):
+        from tpusparse.nn import SelfAttention
+
+        x = jnp.asarray(rng.normal(size=(2, 128, 96)).astype(np.float32))
+        fused = SelfAttention(num_heads=4, head_dim=24, fused=True)
+        plain = SelfAttention(num_heads=4, head_dim=24)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(params, x)),
+            np.asarray(plain.apply(params, x)),
+            rtol=2e-4, atol=2e-5,
+        )
+        with pytest.raises(ValueError, match="causal"):
+            fused.apply(params, x, mask=jnp.ones((128, 128), bool))
+
+    def test_bert_layer_flash_variant(self, rng):
+        from tpusparse.models import BertAttentionLayer
+
+        x = jnp.asarray(rng.normal(size=(1, 128, 768)).astype(np.float32))
+        layer = BertAttentionLayer(attention="flash")
+        ref_layer = BertAttentionLayer(attention="dense")
+        params = ref_layer.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(layer.apply(params, x)),
+            np.asarray(ref_layer.apply(params, x)),
+            rtol=2e-4, atol=2e-4,
+        )

@@ -1,0 +1,218 @@
+"""Fused multi-head attention Pallas kernel (flash-attention style).
+
+New capability beyond the reference: the reference's BERT recipe swaps
+the two attention matmuls individually (README.md:61-80 — score product
+via cublasTransbMM, context product via cublasMM), materializing the
+(seq, seq) score matrix in HBM both times. On TPU the idiomatic answer
+is one fused kernel: stream K/V tiles through VMEM with an online
+(running-max) softmax so the score matrix never touches HBM — O(seq)
+memory instead of O(seq²), and one kernel launch instead of
+matmul → softmax → matmul.
+
+Forward-only kernel; gradients recompute scores blockwise through the
+XLA ops (same memory profile as the unfused path — use the fused path
+for inference and the forward half of training).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusparse.utils.config import get_config, interpret_mode, round_up
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # (1, bq, d) VMEM
+    k_ref,  # (1, bk, d) VMEM
+    v_ref,  # (1, bk, d) VMEM
+    o_ref,  # (1, bq, d) VMEM
+    m_scr,  # (bq, 128) f32 running row max
+    l_scr,  # (bq, 128) f32 running row denominator
+    acc_scr,  # (bq, d) f32 running context accumulator
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    kv_len: int,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def _block():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        )  # (bq, bk)
+
+        # mask out-of-range keys (seq padding) and the causal triangle
+        key_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        mask = key_pos < kv_len
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0
+            )
+            mask = mask & (key_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]  # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # (bq, bk) f32
+        corr = jnp.exp(m_prev - m_new)  # (bq, 1)
+        l_new = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * corr + jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        # whole K-tiles strictly above the diagonal contribute nothing
+        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        def _():
+            _block()
+    else:
+        _block()
+
+    @pl.when(ki == nk - 1)
+    def _final():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """softmax(Q·Kᵀ·scale) · V, fused, for (..., seq, head_dim) operands.
+
+    Leading dims are batch/heads (any number, flattened internally).
+    seq and head_dim are padded to tile multiples; head_dim should be a
+    multiple of 128 for full MXU efficiency (64 works, at half lanes).
+    """
+    if q.shape != k.shape or k.shape != v.shape:
+        raise ValueError(f"q/k/v shapes differ: {q.shape} {k.shape} {v.shape}")
+    if q.ndim < 2:
+        raise ValueError(f"need (..., seq, head_dim), got {q.shape}")
+    *lead, s, d = q.shape
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+
+    bq = min(block_q, round_up(s, 128))
+    bk = min(block_k, round_up(s, 128))
+    sp = round_up(s, max(bq, bk))
+    dp = round_up(d, 128)
+    bh = 1
+    for x in lead:
+        bh *= x
+    q3 = q.reshape(bh, s, d)
+    k3 = k.reshape(bh, s, d)
+    v3 = v.reshape(bh, s, d)
+    if (sp, dp) != (s, d):
+        pad = ((0, 0), (0, sp - s), (0, dp - d))
+        q3, k3, v3 = (jnp.pad(x, pad) for x in (q3, k3, v3))
+
+    grid = (bh, sp // bq, sp // bk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_q=bq,
+            block_k=bk,
+            kv_len=s,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=get_config().vmem_limit_bytes,
+        ),
+        interpret=interpret_mode(),
+    )(q3, k3, v3)
+
+    return out[:, :s, :d].reshape(*lead, s, d)
+
+
+def _reference_attention(q, k, v, causal, sm_scale):
+    s = jnp.einsum(
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    if causal:
+        qlen = q.shape[-2]
+        mask = jnp.tril(jnp.ones((qlen, qlen), bool))
+        s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "...qk,...kd->...qd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4)
+)
+def flash_attention_diff(q, k, v, causal=False, sm_scale=None):
+    """Differentiable wrapper: fused Pallas forward, blockwise-recompute
+    XLA backward (same memory class as the unfused path)."""
+    return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+
+
+def _fa_fwd(q, k, v, causal, sm_scale):
+    return flash_attention_diff(q, k, v, causal, sm_scale), (q, k, v)
+
+
+def _fa_bwd(causal, sm_scale, res, g):
+    q, k, v = res
+    scale = sm_scale if sm_scale is not None else 1.0 / (q.shape[-1] ** 0.5)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, causal, scale),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)

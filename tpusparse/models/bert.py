@@ -54,7 +54,10 @@ class BertAttentionLayer(nn.Module):
             )(x)
         else:
             attn = SelfAttention(
-                num_heads=self.num_heads, head_dim=head_dim, name="attention"
+                num_heads=self.num_heads,
+                head_dim=head_dim,
+                fused=(self.attention == "flash"),
+                name="attention",
             )(x, mask)
         x = nn.LayerNorm(name="ln1")(x + attn)
         h = DenseLinear(self.intermediate, name="ffn_in")(x)

@@ -182,6 +182,8 @@ class SelfAttention(nn.Module):
     num_heads: int
     head_dim: int
     use_pallas: bool = False
+    fused: bool = False  # flash-attention Pallas kernel (O(seq) memory)
+    causal: bool = False
 
     @nn.compact
     def __call__(self, hidden, mask: Optional[jnp.ndarray] = None):
@@ -198,11 +200,24 @@ class SelfAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
 
-        # attention_scores = Q @ Kᵀ via the transposed-B batched op
-        scores = ops.transb_mm(q, k) / np.sqrt(self.head_dim)
-        if mask is not None:
-            scores = jnp.where(mask, scores, -1e9)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = ops.mm(probs, v)  # (b, heads, s, head_dim)
+        if self.fused:
+            if mask is not None:
+                raise ValueError(
+                    "fused attention supports causal masking only; pass "
+                    "causal=True or use the unfused path for custom masks"
+                )
+            from tpusparse.kernels.flash_attention import flash_attention_diff
+
+            ctx = flash_attention_diff(q, k, v, self.causal, None)
+        else:
+            # attention_scores = Q @ Kᵀ via the transposed-B batched op
+            scores = ops.transb_mm(q, k) / np.sqrt(self.head_dim)
+            if self.causal:
+                cmask = jnp.tril(jnp.ones((s, s), bool))
+                scores = jnp.where(cmask, scores, -1e9)
+            if mask is not None:
+                scores = jnp.where(mask, scores, -1e9)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = ops.mm(probs, v)  # (b, heads, s, head_dim)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
         return DenseLinear(h, name="out")(ctx)
