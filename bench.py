@@ -191,6 +191,17 @@ def main():
         "speedup": t_dn / t_loc,
     }
 
+    # ---- detail: fused flash attention vs the same dense baseline -----------
+    fl = SelfAttention(num_heads=12, head_dim=64, fused=True)
+    t_fl = device_time_per_iter(
+        lambda v: norm(fl.apply(aparams, v)), xl, iters_lo=2, iters_hi=6
+    )
+    details["flash_attention_seq4096"] = {
+        "flash_ms": t_fl * 1e3,
+        "dense_ms": t_dn * 1e3,
+        "speedup": t_dn / t_fl,
+    }
+
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 
