@@ -83,14 +83,47 @@ def main():
         }
 
     def block_sparse_csr(seed, shape, bshape, occupancy):
+        """CSR with occupied (bm, bk) blocks, built directly from the
+        block mask — materializing the 16384² dense and scanning it
+        (CSR.from_dense) costs ~2 min of host time, most of the bench
+        budget. Fully vectorized: one bk-wide run per (dense row, block).
+        """
         rng = np.random.default_rng(seed)
         m, k = shape
         bm, bk = bshape
-        mask = rng.random((m // bm, k // bk)) < occupancy
-        vals = rng.random((m, k), dtype=np.float32) * np.kron(
-            mask, np.ones((bm, bk), np.float32)
+        nbr = m // bm
+        mask = rng.random((nbr, k // bk)) < occupancy
+        brows, bcols = np.nonzero(mask)  # block-row-major (sorted by brow)
+        blocks_per_row = mask.sum(axis=1).astype(np.int64)  # (nbr,)
+        bstart = np.zeros(nbr + 1, dtype=np.int64)
+        np.cumsum(blocks_per_row, out=bstart[1:])
+        col_base = (bcols * bk).astype(np.int64)
+
+        # run = one bk-wide column segment of one dense row
+        runs_per_dense_row = np.repeat(blocks_per_row, bm)  # (m,)
+        total_runs = int(runs_per_dense_row.sum())
+        run_row = np.repeat(
+            np.arange(m, dtype=np.int64), runs_per_dense_row
         )
-        return ts.CSR.from_dense(vals)
+        row_first_run = np.cumsum(runs_per_dense_row) - runs_per_dense_row
+        pos_in_row = (
+            np.arange(total_runs, dtype=np.int64)
+            - np.repeat(row_first_run, runs_per_dense_row)
+        )
+        slot = bstart[run_row // bm] + pos_in_row
+        indices = (
+            col_base[slot][:, None] + np.arange(bk, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        indptr = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(runs_per_dense_row * bk, out=indptr[1:])
+        nnz = total_runs * bk
+        data = rng.random(nnz, dtype=np.float32)
+        return ts.CSR(
+            data=jnp.asarray(data),
+            indices=jnp.asarray(indices.astype(np.int32)),
+            indptr=jnp.asarray(indptr.astype(np.int32)),
+            shape=shape,
+        )
 
     m = k = 16384
 

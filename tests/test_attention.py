@@ -150,22 +150,33 @@ class TestFlashAttention:
             err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1)
             assert err < 2e-5, (b, h, s, d, causal, err)
 
-    def test_grads_match_unfused(self, rng):
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_unfused(self, rng, causal):
+        """All three grads flow through the fused Pallas backward (dq
+        kernel + dk/dv kernel recomputing score tiles from the saved
+        logsumexp), incl. causal masking and ragged seq padding."""
         from tpusparse.kernels.flash_attention import (
             _reference_attention, flash_attention_diff)
 
+        s = 200 if causal else 128  # ragged case exercises row masking
         q, k, v = (
-            jnp.asarray(rng.normal(size=(1, 2, 128, 64)).astype(np.float32))
+            jnp.asarray(rng.normal(size=(1, 2, s, 64)).astype(np.float32))
             for _ in range(3)
         )
-        g1 = jax.grad(lambda x: jnp.sum(flash_attention_diff(x, k, v) ** 2))(q)
+        sc = 1.0 / np.sqrt(64)
+        g1 = jax.grad(
+            lambda *a: jnp.sum(flash_attention_diff(*a, causal, None) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
         g2 = jax.grad(
-            lambda x: jnp.sum(_reference_attention(x, k, v, False, 0.125) ** 2)
-        )(q)
-        err = np.abs(np.asarray(g1) - np.asarray(g2)).max() / np.abs(
-            np.asarray(g2)
-        ).max()
-        assert err < 1e-4, err
+            lambda *a: jnp.sum(_reference_attention(*a, causal, sc) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for name, a, b in zip(("dq", "dk", "dv"), g1, g2):
+            err = np.abs(np.asarray(a) - np.asarray(b)).max() / np.abs(
+                np.asarray(b)
+            ).max()
+            assert err < 2e-4, (name, causal, err)
 
     def test_layer_fused_matches_unfused(self, rng):
         from tpusparse.nn import SelfAttention

@@ -9,9 +9,9 @@ is one fused kernel: stream K/V tiles through VMEM with an online
 memory instead of O(seq²), and one kernel launch instead of
 matmul → softmax → matmul.
 
-Forward-only kernel; gradients recompute scores blockwise through the
-XLA ops (same memory profile as the unfused path — use the fused path
-for inference and the forward half of training).
+The backward is fused too: the forward saves only the per-row
+logsumexp (O(seq)), and two Pallas kernels recompute score tiles on the
+fly to produce dQ and dK/dV — O(seq) memory end-to-end for training.
 """
 
 from __future__ import annotations
@@ -33,6 +33,9 @@ def _flash_kernel(
     k_ref,  # (1, bk, d) VMEM
     v_ref,  # (1, bk, d) VMEM
     o_ref,  # (1, bq, d) VMEM
+    lse_ref,  # (1, bq, 128) f32 or None: lane-broadcast logsumexp (Mosaic
+    # rejects blocks whose second-minor dim is 1 unless it spans the array,
+    # so the per-row statistic is carried across the 128-lane minor dim)
     m_scr,  # (bq, 128) f32 running row max
     l_scr,  # (bq, 128) f32 running row denominator
     acc_scr,  # (bq, d) f32 running context accumulator
@@ -101,10 +104,22 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(
             o_ref.dtype
         )
+        if lse_ref is not None:
+            lse = m_scr[:, :1] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_kernel_no_lse(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr, **kw)
+
+
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k")
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "return_lse"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -115,6 +130,7 @@ def flash_attention(
     sm_scale: float | None = None,
     block_q: int = 512,
     block_k: int = 512,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """softmax(Q·Kᵀ·scale) · V, fused, for (..., seq, head_dim) operands.
 
@@ -145,9 +161,21 @@ def flash_attention(
 
     grid = (bh, sp // bq, sp // bk)
 
+    out_specs = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, sp, dp), q.dtype)
+    if return_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((bh, sp, 128), jnp.float32),
+        ]
+
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel,
+            _flash_kernel_lse if return_lse else _flash_kernel_no_lse,
             sm_scale=sm_scale,
             causal=causal,
             block_q=bq,
@@ -160,8 +188,8 @@ def flash_attention(
             pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sp, dp), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -174,6 +202,12 @@ def flash_attention(
         interpret=interpret_mode(),
     )(q3, k3, v3)
 
+    if return_lse:
+        o, lse = out
+        return (
+            o[:, :s, :d].reshape(*lead, s, d),
+            lse[:, :s, 0].reshape(*lead, s),
+        )
     return out[:, :s, :d].reshape(*lead, s, d)
 
 
@@ -192,27 +226,239 @@ def _reference_attention(q, k, v, causal, sm_scale):
     ).astype(q.dtype)
 
 
+def _score_tile(q, k, lse, qi, ki, bq, bk, kv_len, sm_scale, causal):
+    """Recomputed probability tile P = exp(S - lse) with padding/causal
+    masking folded in (masked entries give exp(-inf - lse) = 0, so padded
+    q rows and k columns contribute nothing to the grad sums).
+    lse: (bq, 1)."""
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * sm_scale
+    )
+    q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    key_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = (key_pos < kv_len) & (q_pos < kv_len)
+    if causal:
+        mask = mask & (key_pos <= q_pos)
+    s = jnp.where(mask, s, _NEG_INF)
+    return jnp.exp(s - lse)
+
+
+def _flash_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    acc_scr,  # (bq, d) f32
+    *,
+    sm_scale, causal, block_q, block_k, kv_len,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def _block():
+        p = _score_tile(
+            q_ref[0], k_ref[0], lse_ref[0, :, :1], qi, ki,
+            block_q, block_k, kv_len, sm_scale, causal,
+        )
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, :, :1]) * sm_scale
+        acc_scr[:] += jnp.dot(
+            ds.astype(k_ref.dtype), k_ref[0], preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        def _():
+            _block()
+    else:
+        _block()
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,  # (bk, d) f32
+    *,
+    sm_scale, causal, block_q, block_k, kv_len,
+):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def _block():
+        p = _score_tile(
+            q_ref[0], k_ref[0], lse_ref[0, :, :1], qi, ki,
+            block_q, block_k, kv_len, sm_scale, causal,
+        )
+        pt = p.astype(do_ref.dtype)
+        dv_scr[:] += jax.lax.dot_general(
+            pt, do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta_ref[0, :, :1]) * sm_scale).astype(q_ref.dtype)
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        # q-tiles entirely above the diagonal see only masked entries
+        @pl.when(qi * block_q + block_q - 1 >= ki * block_k)
+        def _():
+            _block()
+    else:
+        _block()
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k"),
+)
+def flash_attention_bwd(
+    q, k, v, o, lse, do,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+):
+    """(dq, dk, dv) from the saved per-row logsumexp — O(seq) memory."""
+    *lead, s, d = q.shape
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    bq = min(block_q, round_up(s, 128))
+    bk = min(block_k, round_up(s, 128))
+    sp = round_up(s, max(bq, bk))
+    dp_ = round_up(d, 128)
+    bh = 1
+    for x in lead:
+        bh *= x
+
+    delta = jnp.einsum("...sd,...sd->...s", do, o).astype(jnp.float32)
+
+    def pad3(x):
+        x = x.reshape(bh, s, d)
+        if (sp, dp_) != (s, d):
+            x = jnp.pad(x, ((0, 0), (0, sp - s), (0, dp_ - d)))
+        return x
+
+    def pad2(x):
+        # lane-broadcast to (bh, sp, 128): Mosaic rejects (1, bq) blocks
+        x = x.reshape(bh, s)
+        if sp != s:
+            x = jnp.pad(x, ((0, 0), (0, sp - s)))
+        return jnp.broadcast_to(x[:, :, None], (bh, sp, 128))
+
+    q3, k3, v3, do3 = pad3(q), pad3(k), pad3(v), pad3(do)
+    lse2, delta2 = pad2(lse), pad2(delta)
+
+    kw = dict(
+        sm_scale=sm_scale, causal=causal, block_q=bq, block_k=bk, kv_len=s
+    )
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=get_config().vmem_limit_bytes,
+        ),
+        interpret=interpret_mode(),
+    )
+    qspec = lambda b, i, j: (b, i, 0)
+    kspec = lambda b, i, j: (b, j, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, **kw),
+        grid=(bh, sp // bq, sp // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp_), qspec),
+            pl.BlockSpec((1, bk, dp_), kspec),
+            pl.BlockSpec((1, bk, dp_), kspec),
+            pl.BlockSpec((1, bq, dp_), qspec),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp_), qspec),
+        out_shape=jax.ShapeDtypeStruct((bh, sp, dp_), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dp_), jnp.float32)],
+        **common,
+    )(q3, k3, v3, do3, lse2, delta2)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, **kw),
+        grid=(bh, sp // bk, sp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp_), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, dp_), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sp, dp_), k.dtype),
+            jax.ShapeDtypeStruct((bh, sp, dp_), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dp_), jnp.float32),
+            pltpu.VMEM((bk, dp_), jnp.float32),
+        ],
+        **common,
+    )(q3, k3, v3, do3, lse2, delta2)
+
+    unpad = lambda x: x[:, :s, :d].reshape(*lead, s, d)
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(3, 4)
 )
 def flash_attention_diff(q, k, v, causal=False, sm_scale=None):
-    """Differentiable wrapper: fused Pallas forward, blockwise-recompute
-    XLA backward (same memory class as the unfused path)."""
+    """Differentiable fused attention: Pallas forward AND backward —
+    only the per-row logsumexp is saved, O(seq) memory end-to-end."""
     return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
 
 
 def _fa_fwd(q, k, v, causal, sm_scale):
-    return flash_attention_diff(q, k, v, causal, sm_scale), (q, k, v)
+    o, lse = flash_attention(
+        q, k, v, causal=causal, sm_scale=sm_scale, return_lse=True
+    )
+    return o, (q, k, v, o, lse)
 
 
 def _fa_bwd(causal, sm_scale, res, g):
-    q, k, v = res
-    scale = sm_scale if sm_scale is not None else 1.0 / (q.shape[-1] ** 0.5)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _reference_attention(q_, k_, v_, causal, scale),
-        q, k, v,
+    q, k, v, o, lse = res
+    return flash_attention_bwd(
+        q, k, v, o, lse, g, causal=causal, sm_scale=sm_scale
     )
-    return vjp(g)
 
 
 flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)
