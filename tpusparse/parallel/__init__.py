@@ -34,9 +34,13 @@ __all__ += [
     "make_tp_forward",
     "validate_tp_heads",
 ]
-from tpusparse.parallel.attention import ring_local_attention, ulysses_attention
+from tpusparse.parallel.attention import (
+    ring_flash_attention,
+    ring_local_attention,
+    ulysses_attention,
+)
 
-__all__ += ["ring_local_attention", "ulysses_attention"]
+__all__ += ["ring_flash_attention", "ring_local_attention", "ulysses_attention"]
 from tpusparse.parallel.pipeline import pipeline_apply
 
 __all__ += ["pipeline_apply"]

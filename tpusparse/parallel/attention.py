@@ -164,3 +164,104 @@ def ulysses_attention(
         in_specs=(P(None, None, axis, None),) * 3,
         out_specs=P(None, None, axis, None),
     )(q, k, v)
+
+
+# -----------------------------------------------------------------------------
+# Ring flash attention — FULL attention with the sequence axis sharded.
+# -----------------------------------------------------------------------------
+
+
+def _merge_partial(o1, lse1, o2, lse2):
+    """Combine two normalized partial attentions via their logsumexps."""
+    lse = jnp.logaddexp(lse1, lse2)
+    w1 = jnp.exp(lse1 - lse)[..., None]
+    w2 = jnp.exp(lse2 - lse)[..., None]
+    return o1 * w1 + o2 * w2, lse
+
+
+def ring_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "seq",
+) -> jnp.ndarray:
+    """Full (dense) flash attention with the sequence axis sharded.
+
+    The complement of `ulysses_attention` that never materializes the
+    full sequence anywhere: each device keeps its Q shard and rotates the
+    K/V shards around the ring (one `ppermute` hop per step), running the
+    fused flash kernel per chunk and merging the normalized partials with
+    their logsumexps. Communication per step is one K/V shard on ICI,
+    overlapped with the chunk's kernel work by XLA's async
+    collective-permute.
+
+    Backward is ring-shaped too: dq accumulates locally across chunks
+    (each chunk call recomputes its score tile from the saved global
+    logsumexp, exactly like the single-chip fused backward), while dk/dv
+    partial sums rotate along with their K/V chunks so each lands back on
+    its owner after P hops — O(seq/P) memory per device end-to-end.
+
+    q/k/v: (batch, heads, seq, head_dim) global arrays; bidirectional
+    attention only (global causal offsets are not plumbed through the
+    kernel's block masking).
+    """
+    from tpusparse.kernels.flash_attention import (
+        flash_attention,
+        flash_attention_bwd,
+    )
+
+    b, h, s, hd = q.shape
+    nshards = mesh.shape[axis]
+    if s % nshards != 0:
+        raise ValueError(f"seq {s} must divide the '{axis}' axis ({nshards})")
+    perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+
+    @jax.custom_vjp
+    def _ring(qs, ks, vs):
+        o, lse = _ring_fwd_inner(qs, ks, vs)
+        return o
+
+    def _ring_fwd_inner(qs, ks, vs):
+        o, lse = flash_attention(qs, ks, vs, return_lse=True)
+        kc, vc = ks, vs
+        for _ in range(nshards - 1):
+            kc = lax.ppermute(kc, axis, perm)
+            vc = lax.ppermute(vc, axis, perm)
+            o_t, lse_t = flash_attention(qs, kc, vc, return_lse=True)
+            o, lse = _merge_partial(o, lse, o_t, lse_t)
+        return o, lse
+
+    def _ring_vjp_fwd(qs, ks, vs):
+        o, lse = _ring_fwd_inner(qs, ks, vs)
+        return o, (qs, ks, vs, o, lse)
+
+    def _ring_vjp_bwd(res, g):
+        qs, ks, vs, o, lse = res
+        dq = jnp.zeros_like(qs)
+        kc, vc = ks, vs
+        dk_acc = jnp.zeros_like(ks)
+        dv_acc = jnp.zeros_like(vs)
+        for t in range(nshards):
+            if t:
+                kc = lax.ppermute(kc, axis, perm)
+                vc = lax.ppermute(vc, axis, perm)
+                dk_acc = lax.ppermute(dk_acc, axis, perm)
+                dv_acc = lax.ppermute(dv_acc, axis, perm)
+            dq_t, dk_t, dv_t = flash_attention_bwd(qs, kc, vc, o, lse, g)
+            dq = dq + dq_t
+            dk_acc = dk_acc + dk_t
+            dv_acc = dv_acc + dv_t
+        # one more hop completes the cycle: accumulators return to owners
+        dk_acc = lax.ppermute(dk_acc, axis, perm)
+        dv_acc = lax.ppermute(dv_acc, axis, perm)
+        return dq, dk_acc, dv_acc
+
+    _ring.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
+
+    return shard_map(
+        _ring,
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None),) * 3,
+        out_specs=P(None, None, axis, None),
+    )(q, k, v)
