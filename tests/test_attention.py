@@ -205,3 +205,35 @@ class TestFlashAttention:
             np.asarray(ref_layer.apply(params, x)),
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_flash_offsets_match_sliced_reference(rng):
+    """q_offset/kv_offset give chunks of a larger causal attention the
+    right global masking — the primitive under ring_flash_attention."""
+    from tpusparse.kernels.flash_attention import flash_attention
+
+    b, h, S, d = 1, 1, 512, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, S, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    sc = 1.0 / np.sqrt(d)
+    # rows 256:512 vs keys 0:256 of the global causal pattern: all allowed
+    o = np.asarray(
+        flash_attention(
+            q[:, :, 256:], k[:, :, :256], v[:, :, :256],
+            causal=True, sm_scale=sc, block_q=128, block_k=128,
+            q_offset=256, kv_offset=0,
+        )
+    )
+    s_ref = np.einsum(
+        "bhqd,bhkd->bhqk",
+        np.asarray(q[:, :, 256:], np.float64),
+        np.asarray(k[:, :, :256], np.float64),
+    ) * sc
+    p = np.exp(s_ref - s_ref.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum(
+        "bhqk,bhkd->bhqd", p, np.asarray(v[:, :, :256], np.float64)
+    )
+    assert np.abs(o - ref).max() / np.abs(ref).max() < 2e-5

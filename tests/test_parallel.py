@@ -142,6 +142,38 @@ def test_ring_flash_attention_matches_reference(rng):
     assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5
 
 
+def test_ring_flash_attention_causal(rng):
+    """Causal ring: each chunk's global positions flow into the kernel via
+    its scalar-prefetched offsets; future chunks contribute nothing."""
+    from tpusparse.parallel.attention import ring_flash_attention
+    from tpusparse.kernels.flash_attention import _reference_attention
+
+    mesh8 = make_mesh((8,), ("seq",))
+    b, h, s, d = 1, 1, 8 * 128, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = np.asarray(ring_flash_attention(q, k, v, mesh8, causal=True))
+    ref = np.asarray(_reference_attention(q, k, v, True, 1.0 / np.sqrt(d)))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5
+    gr = jax.grad(
+        lambda *a: jnp.sum(ring_flash_attention(*a, mesh8, causal=True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gf = jax.grad(
+        lambda *a: jnp.sum(
+            _reference_attention(*a, True, 1.0 / np.sqrt(d)) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b_ in zip(("dq", "dk", "dv"), gr, gf):
+        err = np.abs(np.asarray(a) - np.asarray(b_)).max() / np.abs(
+            np.asarray(b_)
+        ).max()
+        assert err < 2e-4, (name, err)
+
+
 def test_ring_flash_attention_grads(rng):
     """The ring backward: dq accumulates locally, dk/dv partial sums
     rotate with their chunks and land back on the owner after P hops."""

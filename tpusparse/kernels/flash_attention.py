@@ -29,6 +29,7 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
+    offs_ref,  # (2,) int32 SMEM: (q_offset, kv_offset) global positions
     q_ref,  # (1, bq, d) VMEM
     k_ref,  # (1, bk, d) VMEM
     v_ref,  # (1, bk, d) VMEM
@@ -67,7 +68,9 @@ def _flash_kernel(
             * sm_scale
         )  # (bq, bk)
 
-        # mask out-of-range keys (seq padding) and the causal triangle
+        # mask out-of-range keys (seq padding) and the causal triangle;
+        # offsets give GLOBAL positions (ring/sharded callers pass the
+        # shard bases; single-chip calls pass zeros)
         key_pos = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1
         )
@@ -76,7 +79,9 @@ def _flash_kernel(
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 0
             )
-            mask = mask & (key_pos <= q_pos)
+            mask = mask & (
+                offs_ref[1] + key_pos <= offs_ref[0] + q_pos
+            )
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]  # (bq, 1)
@@ -91,8 +96,11 @@ def _flash_kernel(
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     if causal:
-        # whole K-tiles strictly above the diagonal contribute nothing
-        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        # whole K-tiles strictly above the (global) diagonal are all-masked
+        @pl.when(
+            offs_ref[1] + ki * block_k
+            <= offs_ref[0] + qi * block_q + block_q - 1
+        )
         def _():
             _block()
     else:
@@ -109,12 +117,12 @@ def _flash_kernel(
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_kernel_no_lse(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, **kw):
-    _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr, **kw)
+def _flash_kernel_no_lse(offs, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, **kw):
+    _flash_kernel(offs, q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr, **kw)
 
 
-def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw):
-    _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw)
+def _flash_kernel_lse(offs, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw):
+    _flash_kernel(offs, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw)
 
 
 @functools.partial(
@@ -131,12 +139,16 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     return_lse: bool = False,
+    q_offset=0,
+    kv_offset=0,
 ) -> jnp.ndarray:
     """softmax(Q·Kᵀ·scale) · V, fused, for (..., seq, head_dim) operands.
 
     Leading dims are batch/heads (any number, flattened internally).
     seq and head_dim are padded to tile multiples; head_dim should be a
     multiple of 128 for full MXU efficiency (64 works, at half lanes).
+    q_offset/kv_offset (may be traced scalars) shift the GLOBAL positions
+    used by causal masking — ring/sharded callers pass their shard bases.
     """
     if q.shape != k.shape or k.shape != v.shape:
         raise ValueError(f"q/k/v shapes differ: {q.shape} {k.shape} {v.shape}")
@@ -161,18 +173,36 @@ def flash_attention(
 
     grid = (bh, sp // bq, sp // bk)
 
-    out_specs = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0))
+    out_specs = pl.BlockSpec((1, bq, dp), lambda b, i, j, offs: (b, i, 0))
     out_shape = jax.ShapeDtypeStruct((bh, sp, dp), q.dtype)
     if return_lse:
         out_specs = [
             out_specs,
-            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j, offs: (b, i, 0)),
         ]
         out_shape = [
             out_shape,
             jax.ShapeDtypeStruct((bh, sp, 128), jnp.float32),
         ]
 
+    offs = jnp.asarray(
+        [jnp.int32(q_offset), jnp.int32(kv_offset)], dtype=jnp.int32
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j, offs: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j, offs: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j, offs: (b, j, 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+    )
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel_lse if return_lse else _flash_kernel_no_lse,
@@ -182,25 +212,14 @@ def flash_attention(
             block_k=bk,
             kv_len=s,
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=out_specs,
+        grid_spec=grid_spec,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, dp), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=get_config().vmem_limit_bytes,
         ),
         interpret=interpret_mode(),
-    )(q3, k3, v3)
+    )(offs, q3, k3, v3)
 
     if return_lse:
         o, lse = out
@@ -226,7 +245,7 @@ def _reference_attention(q, k, v, causal, sm_scale):
     ).astype(q.dtype)
 
 
-def _score_tile(q, k, lse, qi, ki, bq, bk, kv_len, sm_scale, causal):
+def _score_tile(q, k, lse, qi, ki, bq, bk, kv_len, sm_scale, causal, offs):
     """Recomputed probability tile P = exp(S - lse) with padding/causal
     masking folded in (masked entries give exp(-inf - lse) = 0, so padded
     q rows and k columns contribute nothing to the grad sums).
@@ -241,12 +260,13 @@ def _score_tile(q, k, lse, qi, ki, bq, bk, kv_len, sm_scale, causal):
     key_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mask = (key_pos < kv_len) & (q_pos < kv_len)
     if causal:
-        mask = mask & (key_pos <= q_pos)
+        mask = mask & (offs[1] + key_pos <= offs[0] + q_pos)
     s = jnp.where(mask, s, _NEG_INF)
     return jnp.exp(s - lse)
 
 
 def _flash_dq_kernel(
+    offs_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     acc_scr,  # (bq, d) f32
@@ -264,7 +284,7 @@ def _flash_dq_kernel(
     def _block():
         p = _score_tile(
             q_ref[0], k_ref[0], lse_ref[0, :, :1], qi, ki,
-            block_q, block_k, kv_len, sm_scale, causal,
+            block_q, block_k, kv_len, sm_scale, causal, offs_ref,
         )
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
@@ -276,7 +296,10 @@ def _flash_dq_kernel(
         )
 
     if causal:
-        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        @pl.when(
+            offs_ref[1] + ki * block_k
+            <= offs_ref[0] + qi * block_q + block_q - 1
+        )
         def _():
             _block()
     else:
@@ -288,6 +311,7 @@ def _flash_dq_kernel(
 
 
 def _flash_dkv_kernel(
+    offs_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,  # (bk, d) f32
@@ -306,7 +330,7 @@ def _flash_dkv_kernel(
     def _block():
         p = _score_tile(
             q_ref[0], k_ref[0], lse_ref[0, :, :1], qi, ki,
-            block_q, block_k, kv_len, sm_scale, causal,
+            block_q, block_k, kv_len, sm_scale, causal, offs_ref,
         )
         pt = p.astype(do_ref.dtype)
         dv_scr[:] += jax.lax.dot_general(
@@ -324,8 +348,11 @@ def _flash_dkv_kernel(
         )
 
     if causal:
-        # q-tiles entirely above the diagonal see only masked entries
-        @pl.when(qi * block_q + block_q - 1 >= ki * block_k)
+        # q-tiles entirely above the (global) diagonal are all-masked
+        @pl.when(
+            offs_ref[0] + qi * block_q + block_q - 1
+            >= offs_ref[1] + ki * block_k
+        )
         def _():
             _block()
     else:
@@ -348,6 +375,8 @@ def flash_attention_bwd(
     sm_scale: float | None = None,
     block_q: int = 512,
     block_k: int = 512,
+    q_offset=0,
+    kv_offset=0,
 ):
     """(dq, dk, dv) from the saved per-row logsumexp — O(seq) memory."""
     *lead, s, d = q.shape
@@ -388,51 +417,61 @@ def flash_attention_bwd(
         ),
         interpret=interpret_mode(),
     )
-    qspec = lambda b, i, j: (b, i, 0)
-    kspec = lambda b, i, j: (b, j, 0)
+    qspec = lambda b, i, j, offs: (b, i, 0)
+    kspec = lambda b, i, j, offs: (b, j, 0)
+
+    offs = jnp.asarray(
+        [jnp.int32(q_offset), jnp.int32(kv_offset)], dtype=jnp.int32
+    )
 
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, **kw),
-        grid=(bh, sp // bq, sp // bk),
-        in_specs=[
-            pl.BlockSpec((1, bq, dp_), qspec),
-            pl.BlockSpec((1, bk, dp_), kspec),
-            pl.BlockSpec((1, bk, dp_), kspec),
-            pl.BlockSpec((1, bq, dp_), qspec),
-            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, dp_), qspec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, sp // bq, sp // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, dp_), qspec),
+                pl.BlockSpec((1, bk, dp_), kspec),
+                pl.BlockSpec((1, bk, dp_), kspec),
+                pl.BlockSpec((1, bq, dp_), qspec),
+                pl.BlockSpec((1, bq, 128), qspec),
+                pl.BlockSpec((1, bq, 128), qspec),
+            ],
+            out_specs=pl.BlockSpec((1, bq, dp_), qspec),
+            scratch_shapes=[pltpu.VMEM((bq, dp_), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((bh, sp, dp_), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, dp_), jnp.float32)],
         **common,
-    )(q3, k3, v3, do3, lse2, delta2)
+    )(offs, q3, k3, v3, do3, lse2, delta2)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, **kw),
-        grid=(bh, sp // bk, sp // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, dp_), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, dp_), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, dp_), lambda b, i, j: (b, i, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, sp // bk, sp // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, dp_), kspec),
+                pl.BlockSpec((1, bk, dp_), qspec),
+                pl.BlockSpec((1, bk, dp_), qspec),
+                pl.BlockSpec((1, bq, dp_), kspec),
+                pl.BlockSpec((1, bq, 128), kspec),
+                pl.BlockSpec((1, bq, 128), kspec),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, dp_), qspec),
+                pl.BlockSpec((1, bk, dp_), qspec),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, dp_), jnp.float32),
+                pltpu.VMEM((bk, dp_), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((bh, sp, dp_), k.dtype),
             jax.ShapeDtypeStruct((bh, sp, dp_), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bk, dp_), jnp.float32),
-            pltpu.VMEM((bk, dp_), jnp.float32),
-        ],
         **common,
-    )(q3, k3, v3, do3, lse2, delta2)
+    )(offs, q3, k3, v3, do3, lse2, delta2)
 
     unpad = lambda x: x[:, :s, :d].reshape(*lead, s, d)
     return unpad(dq), unpad(dk), unpad(dv)

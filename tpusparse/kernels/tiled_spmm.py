@@ -83,15 +83,19 @@ def _executor_kernel(
         ).wait()
         return acc + mxu.dot(vals_ref[0, l], btile[l % DEPTH], precision)
 
-    # 2-wide unroll hides per-iteration loop/DMA-bookkeeping latency
-    # behind the MXU passes (~10% on the 16384 block-sparse headline)
-    def body2(t, acc):
-        acc = consume(t * 2, acc)
-        return consume(t * 2 + 1, acc)
+    # 4-wide unroll hides per-iteration loop/DMA-bookkeeping latency
+    # behind the MXU passes (measured on the 16384 block-sparse headline:
+    # 2-wide ~10% over rolled, 4-wide a further ~13% — 0.667 vs 0.756 ms,
+    # bitwise-identical output)
+    def body4(t, acc):
+        acc = consume(t * 4, acc)
+        acc = consume(t * 4 + 1, acc)
+        acc = consume(t * 4 + 2, acc)
+        return consume(t * 4 + 3, acc)
 
     acc = jnp.zeros(o_ref.shape, jnp.float32)
-    acc = jax.lax.fori_loop(0, nvalid // 2, body2, acc)
-    acc = jax.lax.fori_loop((nvalid // 2) * 2, nvalid, consume, acc)
+    acc = jax.lax.fori_loop(0, nvalid // 4, body4, acc)
+    acc = jax.lax.fori_loop((nvalid // 4) * 4, nvalid, consume, acc)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 

@@ -185,6 +185,7 @@ def ring_flash_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     axis: str = "seq",
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Full (dense) flash attention with the sequence axis sharded.
 
@@ -202,9 +203,10 @@ def ring_flash_attention(
     partial sums rotate along with their K/V chunks so each lands back on
     its owner after P hops — O(seq/P) memory per device end-to-end.
 
-    q/k/v: (batch, heads, seq, head_dim) global arrays; bidirectional
-    attention only (global causal offsets are not plumbed through the
-    kernel's block masking).
+    q/k/v: (batch, heads, seq, head_dim) global arrays. `causal=True`
+    plumbs each chunk's GLOBAL positions into the kernel's masking via
+    its scalar-prefetched offsets (chunks entirely in the future
+    contribute nothing and are skipped tile-wise inside the kernel).
     """
     from tpusparse.kernels.flash_attention import (
         flash_attention,
@@ -222,13 +224,27 @@ def ring_flash_attention(
         o, lse = _ring_fwd_inner(qs, ks, vs)
         return o
 
+    def _offsets(qs, t):
+        idx = lax.axis_index(axis)
+        sl = qs.shape[2]
+        src = lax.rem(idx - t + nshards, nshards)  # chunk owner at step t
+        return idx * sl, src * sl
+
     def _ring_fwd_inner(qs, ks, vs):
-        o, lse = flash_attention(qs, ks, vs, return_lse=True)
+        qoff, kvoff = _offsets(qs, 0)
+        o, lse = flash_attention(
+            qs, ks, vs, causal=causal, return_lse=True,
+            q_offset=qoff, kv_offset=kvoff,
+        )
         kc, vc = ks, vs
-        for _ in range(nshards - 1):
+        for t in range(1, nshards):
             kc = lax.ppermute(kc, axis, perm)
             vc = lax.ppermute(vc, axis, perm)
-            o_t, lse_t = flash_attention(qs, kc, vc, return_lse=True)
+            qoff, kvoff = _offsets(qs, t)
+            o_t, lse_t = flash_attention(
+                qs, kc, vc, causal=causal, return_lse=True,
+                q_offset=qoff, kv_offset=kvoff,
+            )
             o, lse = _merge_partial(o, lse, o_t, lse_t)
         return o, lse
 
@@ -248,7 +264,11 @@ def ring_flash_attention(
                 vc = lax.ppermute(vc, axis, perm)
                 dk_acc = lax.ppermute(dk_acc, axis, perm)
                 dv_acc = lax.ppermute(dv_acc, axis, perm)
-            dq_t, dk_t, dv_t = flash_attention_bwd(qs, kc, vc, o, lse, g)
+            qoff, kvoff = _offsets(qs, t)
+            dq_t, dk_t, dv_t = flash_attention_bwd(
+                qs, kc, vc, o, lse, g,
+                causal=causal, q_offset=qoff, kv_offset=kvoff,
+            )
             dq = dq + dq_t
             dk_acc = dk_acc + dk_t
             dv_acc = dv_acc + dv_t
