@@ -237,3 +237,25 @@ def test_flash_offsets_match_sliced_reference(rng):
         "bhqk,bhkd->bhqd", p, np.asarray(v[:, :, :256], np.float64)
     )
     assert np.abs(o - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_flash_bf16_operands(rng):
+    from tpusparse.kernels.flash_attention import (
+        _reference_attention, flash_attention)
+
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 2, 256, 64)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        for _ in range(3)
+    )
+    out = np.asarray(
+        flash_attention(q, k, v, block_q=128, block_k=128), np.float32
+    )
+    ref = np.asarray(
+        _reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), False, 1.0 / np.sqrt(64),
+        )
+    )
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 3e-2  # bf16 class

@@ -201,3 +201,23 @@ def test_ring_flash_attention_grads(rng):
             np.asarray(b_)
         ).max()
         assert err < 2e-4, (name, err)
+
+
+def test_ulysses_fused_matches_reference(rng):
+    from tpusparse.parallel.attention import ulysses_attention
+    from tpusparse.kernels.flash_attention import _reference_attention
+
+    mesh8 = make_mesh((8,), ("seq",))
+    b, h, s, d = 1, 8, 256, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    for causal in (False, True):
+        out = np.asarray(
+            ulysses_attention(q, k, v, mesh8, fused=True, causal=causal)
+        )
+        ref = np.asarray(
+            _reference_attention(q, k, v, causal, 1.0 / np.sqrt(d))
+        )
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5, causal

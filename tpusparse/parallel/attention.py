@@ -121,6 +121,8 @@ def ulysses_attention(
     mesh: Mesh,
     axis: str = "seq",
     mask: jnp.ndarray | None = None,
+    fused: bool = False,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Full (dense) attention with sequence-parallel inputs via the
     Ulysses reshard: inputs arrive sharded on the sequence axis; an
@@ -149,9 +151,22 @@ def ulysses_attention(
             return lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
 
         qh, kh, vh = scatter_heads(qs), scatter_heads(ks), scatter_heads(vs)
+        if fused:
+            # each device holds FULL sequences for its local heads, so the
+            # single-chip fused flash kernel (and its fused backward)
+            # applies unchanged — Ulysses reshard + flash compute
+            from tpusparse.kernels.flash_attention import flash_attention_diff
+
+            if mask is not None:
+                raise ValueError("fused ulysses supports causal masks only")
+            ctx = flash_attention_diff(qh, kh, vh, causal, None)
+            return gather_seq(ctx)
         from tpusparse.dense import einsum as precise_einsum
 
         scores = precise_einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(hd)
+        if causal:
+            cm = jnp.tril(jnp.ones((s, s), bool))
+            scores = jnp.where(cm, scores, -1e9)
         if mask is not None:
             scores = jnp.where(mask, scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1)
