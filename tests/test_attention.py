@@ -259,3 +259,15 @@ def test_flash_bf16_operands(rng):
         )
     )
     assert np.abs(out - ref).max() / np.abs(ref).max() < 3e-2  # bf16 class
+
+
+def test_flash_rejects_bad_shapes():
+    from tpusparse.kernels.flash_attention import flash_attention
+
+    with pytest.raises(ValueError, match="shapes differ"):
+        flash_attention(
+            jnp.zeros((2, 128, 64)), jnp.zeros((2, 128, 64)),
+            jnp.zeros((2, 128, 32)),
+        )
+    with pytest.raises(ValueError, match="seq, head_dim"):
+        flash_attention(jnp.zeros((8,)), jnp.zeros((8,)), jnp.zeros((8,)))
