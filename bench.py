@@ -224,15 +224,29 @@ def main():
         "speedup": t_dn / t_loc,
     }
 
-    # ---- detail: fused flash attention vs the same dense baseline -----------
+    # ---- detail: fused flash attention at MATCHED precision ----------------
+    # the flash kernel runs single-pass bf16 MXU dots, so its dense
+    # baseline must too (CLAUDE.md rule: same precision mode both sides);
+    # the 3-pass 'high' dense time is recorded separately for context
+    from tpusparse.utils.config import set_config
+
     fl = SelfAttention(num_heads=12, head_dim=64, fused=True)
-    t_fl = device_time_per_iter(
-        lambda v: norm(fl.apply(aparams, v)), xl, iters_lo=2, iters_hi=6
-    )
+    set_config(precision="default")
+    try:
+        t_fl = device_time_per_iter(
+            lambda v: norm(fl.apply(aparams, v)), xl, iters_lo=2, iters_hi=6
+        )
+        t_dn_bf16 = device_time_per_iter(
+            lambda v: norm(dn.apply(aparams, v)), xl, iters_lo=2, iters_hi=6
+        )
+    finally:
+        set_config(precision="high")
     details["flash_attention_seq4096"] = {
         "flash_ms": t_fl * 1e3,
-        "dense_ms": t_dn * 1e3,
-        "speedup": t_dn / t_fl,
+        "dense_bf16_ms": t_dn_bf16 * 1e3,
+        "speedup_matched_bf16": t_dn_bf16 / t_fl,
+        "dense_3pass_ms": t_dn * 1e3,
+        "speedup_vs_3pass": t_dn / t_fl,
     }
 
     with open("BENCH_DETAILS.json", "w") as f:

@@ -271,3 +271,18 @@ def test_flash_rejects_bad_shapes():
         )
     with pytest.raises(ValueError, match="seq, head_dim"):
         flash_attention(jnp.zeros((8,)), jnp.zeros((8,)), jnp.zeros((8,)))
+
+
+def test_flash_non_dividing_block_sizes(rng):
+    """block_q/block_k that do not divide each other must not drop keys:
+    the grid once truncated sp // bk, silently skipping the tail."""
+    from tpusparse.kernels.flash_attention import (
+        _reference_attention, flash_attention)
+
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 1, 512, 64)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = np.asarray(flash_attention(q, k, v, block_q=512, block_k=384))
+    ref = np.asarray(_reference_attention(q, k, v, False, 0.125))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5

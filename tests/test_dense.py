@@ -101,3 +101,17 @@ def test_split_bf16_rtn_roundtrip_under_jit(rng):
     assert err < 4.0 * 2.0**-17, err
     # lo really carries the remainder (not folded to zero)
     assert np.abs(np.asarray(lo, np.float32)).max() > 2.0**-12
+
+
+def test_global_bf16x3_precision_does_not_crash_dense():
+    """'bf16x3' is primarily a Pallas precision name; setting it globally
+    must resolve on the XLA paths too (once a raw KeyError)."""
+    from tpusparse import mm
+    from tpusparse.utils.config import set_config
+
+    set_config(precision="bf16x3")
+    try:
+        out = mm(jnp.ones((4, 8)), jnp.ones((8, 4)))
+        np.testing.assert_allclose(np.asarray(out), 8.0)
+    finally:
+        set_config(precision="high")

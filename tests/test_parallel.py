@@ -221,3 +221,12 @@ def test_ulysses_fused_matches_reference(rng):
             _reference_attention(q, k, v, causal, 1.0 / np.sqrt(d))
         )
         assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5, causal
+
+
+def test_ring_flash_preserves_dtype(rng):
+    from tpusparse.parallel.attention import ring_flash_attention
+
+    mesh8 = make_mesh((8,), ("seq",))
+    q = jnp.zeros((1, 1, 8 * 128, 64), jnp.bfloat16)
+    out = ring_flash_attention(q, q, q, mesh8)
+    assert out.dtype == jnp.bfloat16

@@ -297,3 +297,71 @@ def test_footprint_spmm_multi_n_tile(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_derived_plan_caches_distinguish_intra_block_layout(rng):
+    """Two matrices with IDENTICAL block structure but different element
+    positions inside the blocks must not share a derived plan — the
+    caches once hashed only block_cols+nslots and collided, silently
+    scattering the second matrix's values to the first one's positions."""
+    from tpusparse.kernels.tiled_spmm import (
+        compact_spmm_pallas, footprint_spmm_pallas, grouped_spmm_pallas)
+    from tpusparse.plan import compact_plan, footprint_plan, group_plan
+
+    def mat(positions):
+        d = np.zeros((8, 16), np.float32)
+        for (r, c), v in positions:
+            d[r, c] = v
+        return CSR.from_dense(d)
+
+    a1 = mat([((0, 0), 1.0), ((3, 5), 2.0)])
+    a2 = mat([((1, 1), 3.0), ((4, 7), 4.0)])  # same single (8,16) block
+    b = jnp.asarray(rng.random((16, 8), dtype=np.float32))
+    for a in (a1, a2):
+        plan = build_plan(a, blocksize=(8, 16))
+        ref = np.asarray(a.to_dense(), np.float64) @ np.asarray(b, np.float64)
+        fp = footprint_plan(plan, 2)
+        np.testing.assert_allclose(
+            np.asarray(footprint_spmm_pallas(fp, fp.pack_values(a.data), b)),
+            ref, rtol=1e-5, atol=1e-6, err_msg="footprint")
+        cp = compact_plan(plan)
+        np.testing.assert_allclose(
+            np.asarray(compact_spmm_pallas(cp, cp.pack_values(a.data), b)),
+            ref, rtol=1e-5, atol=1e-6, err_msg="compact")
+        gp = group_plan(plan, 2)
+        np.testing.assert_allclose(
+            np.asarray(grouped_spmm_pallas(gp, gp.pack_values(a.data), b)),
+            ref, rtol=1e-5, atol=1e-6, err_msg="grouped")
+
+
+def test_footprint_bf16_accumulates_in_f32(rng):
+    """bf16 inputs through the footprint executor must match the tiled
+    executor's accuracy class — it once accumulated directly into the
+    bf16 output block, rounding every per-slot add (~15x worse error)."""
+    from tpusparse.kernels.tiled_spmm import (
+        footprint_spmm_pallas, tiled_spmm_pallas)
+    from tpusparse.plan import footprint_plan
+
+    d = (rng.random((8, 1024), dtype=np.float32) - 0.5).astype(np.float32)
+    a32 = CSR.from_dense(d)
+    a16 = CSR(
+        data=jnp.asarray(a32.data).astype(jnp.bfloat16),
+        indices=a32.indices, indptr=a32.indptr, shape=a32.shape,
+    )
+    b16 = jnp.asarray(rng.random((1024, 16), dtype=np.float32)).astype(
+        jnp.bfloat16
+    )
+    plan = build_plan(a16, blocksize=(8, 16))
+    fp = footprint_plan(plan, 1)
+    ref = d.astype(np.float64) @ np.asarray(
+        b16.astype(jnp.float32), np.float64
+    )
+    out_f = np.asarray(
+        footprint_spmm_pallas(fp, fp.pack_values(a16.data), b16), np.float32
+    )
+    out_t = np.asarray(
+        tiled_spmm_pallas(plan, plan.pack_values(a16.data), b16), np.float32
+    )
+    err_f = np.abs(out_f - ref).max() / np.abs(ref).max()
+    err_t = np.abs(out_t - ref).max() / np.abs(ref).max()
+    assert err_f < 3 * err_t + 1e-3, (err_f, err_t)

@@ -27,6 +27,7 @@ from tpusparse.utils.config import get_config
 _PRECISION = {
     "highest": lax.Precision.HIGHEST,
     "high": lax.Precision.HIGH,
+    "bf16x3": lax.Precision.HIGH,  # see config.matmul_precision note
     "default": lax.Precision.DEFAULT,
 }
 
@@ -64,7 +65,7 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     fp32 results inside the reference's torch.allclose rtol=1e-5.
     """
     if (
-        get_config().precision == "high"
+        get_config().precision in ("high", "bf16x3")
         and a.dtype == jnp.float32
         and b.dtype == jnp.float32
         and jax.default_backend() == "tpu"  # CPU matmul is native fp32
@@ -84,7 +85,7 @@ def einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Two-operand einsum honoring the configured precision ('high' uses
     the same manual 3-pass bf16 decomposition as _mm)."""
     if (
-        get_config().precision == "high"
+        get_config().precision in ("high", "bf16x3")
         and a.dtype == jnp.float32
         and b.dtype == jnp.float32
         and jax.default_backend() == "tpu"

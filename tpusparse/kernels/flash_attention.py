@@ -17,6 +17,7 @@ fly to produce dQ and dK/dV — O(seq) memory end-to-end for training.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -159,7 +160,10 @@ def flash_attention(
 
     bq = min(block_q, round_up(s, 128))
     bk = min(block_k, round_up(s, 128))
-    sp = round_up(s, max(bq, bk))
+    # pad seq to a COMMON multiple of both tile sizes: rounding to only
+    # max(bq, bk) silently dropped trailing keys when bk did not divide
+    # sp (grid used truncating sp // bk; found by review)
+    sp = round_up(s, bq * bk // math.gcd(bq, bk))
     dp = round_up(d, 128)
     bh = 1
     for x in lead:
@@ -383,7 +387,7 @@ def flash_attention_bwd(
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     bq = min(block_q, round_up(s, 128))
     bk = min(block_k, round_up(s, 128))
-    sp = round_up(s, max(bq, bk))
+    sp = round_up(s, bq * bk // math.gcd(bq, bk))  # see flash_attention note
     dp_ = round_up(d, 128)
     bh = 1
     for x in lead:

@@ -521,6 +521,9 @@ def _footprint_kernel(
     b_hbm,  # (kp, np) ANY/HBM
     o_ref,  # (S*bm, bn) VMEM block
     btile,  # (FP_BDEPTH, bk, bn) VMEM scratch
+    acc_scr,  # (S*bm, bn) f32 accumulator — accumulating straight into a
+    # bf16 o_ref rounds every per-slot add (~15x worse error measured);
+    # every sibling executor accumulates in f32
     bsem,
     *,
     u_width: int,
@@ -534,7 +537,7 @@ def _footprint_kernel(
     bk = btile.shape[1]
     nvalid = nslots_ref[s]
     nuc = ucnt_ref[s]
-    o_ref[:] = jnp.zeros_like(o_ref)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
 
     def issue_b(t):  # t = distinct-col ordinal within the super-row
         col = ucols_ref[s * u_width + t]
@@ -569,10 +572,11 @@ def _footprint_kernel(
                 issue_b(t + FP_BDEPTH - 1)
 
         contrib = mxu.dot(vals_ref[0, l], btile[t % FP_BDEPTH], precision)
-        o_ref[pl.ds(lrow_ref[g] * bm, bm), :] += contrib.astype(o_ref.dtype)
+        acc_scr[pl.ds(lrow_ref[g] * bm, bm), :] += contrib
         return carry
 
     jax.lax.fori_loop(0, nvalid, body, 0)
+    o_ref[:] = acc_scr[:].astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -615,7 +619,7 @@ def footprint_spmm_pallas(
     # the vals block and the S-row output block are both double-buffered by
     # the pipeline; estimate before Mosaic hits its opaque scoped-vmem OOM
     est_vmem = (
-        2 * Ls * bm * bk + 2 * S * bm * bn + FP_BDEPTH * bk * bn + bm * bn
+        2 * Ls * bm * bk + 3 * S * bm * bn + FP_BDEPTH * bk * bn + bm * bn
     ) * 4
     if est_vmem > cfg.vmem_limit_bytes:
         raise ValueError(
@@ -643,6 +647,7 @@ def footprint_spmm_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((FP_BDEPTH, bk, bn), b.dtype),
+            pltpu.VMEM((S * bm, bn), jnp.float32),
             pltpu.SemaphoreType.DMA((FP_BDEPTH,)),
         ],
     )

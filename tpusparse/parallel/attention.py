@@ -237,7 +237,10 @@ def ring_flash_attention(
     @jax.custom_vjp
     def _ring(qs, ks, vs):
         o, lse = _ring_fwd_inner(qs, ks, vs)
-        return o
+        # the logsumexp merge promotes partials to f32; match the
+        # single-chip kernel's contract (output dtype == q.dtype) so the
+        # result does not depend on the mesh size
+        return o.astype(qs.dtype)
 
     def _offsets(qs, t):
         idx = lax.axis_index(axis)
@@ -265,6 +268,7 @@ def ring_flash_attention(
 
     def _ring_vjp_fwd(qs, ks, vs):
         o, lse = _ring_fwd_inner(qs, ks, vs)
+        o = o.astype(qs.dtype)
         return o, (qs, ks, vs, o, lse)
 
     def _ring_vjp_bwd(res, g):

@@ -391,6 +391,11 @@ def compact_plan(plan: Plan) -> CompactPlan:
     fp = hashlib.sha1(
         np.asarray(plan.block_cols).tobytes()
         + np.asarray(plan.nslots).tobytes()
+        # scatter_idx distinguishes matrices with identical BLOCK structure
+        # but different intra-block nnz positions — hashing only the block
+        # layout let two such patterns collide and reuse the wrong
+        # value-scatter (wrong results, found by review)
+        + np.asarray(plan.scatter_idx).tobytes()
         + repr((plan.shape, plan.blocksize, "compact")).encode()
     ).hexdigest()
     hit = _COMPACT_CACHE.get(fp)
@@ -516,6 +521,7 @@ def group_plan(plan: Plan, group_size: int = 64) -> GroupedPlan:
     fp = hashlib.sha1(
         np.asarray(plan.block_cols).tobytes()
         + np.asarray(plan.nslots).tobytes()
+        + np.asarray(plan.scatter_idx).tobytes()  # see compact_plan note
         + repr((plan.shape, plan.blocksize)).encode()
     ).hexdigest()
     gkey = (fp, group_size)
@@ -692,6 +698,7 @@ def footprint_plan(plan: Plan, rows_per_super: int = 16) -> FootprintPlan:
     fp = hashlib.sha1(
         np.asarray(plan.block_cols).tobytes()
         + np.asarray(plan.nslots).tobytes()
+        + np.asarray(plan.scatter_idx).tobytes()  # see compact_plan note
         + repr((plan.shape, plan.blocksize, "footprint")).encode()
     ).hexdigest()
     key = (fp, rows_per_super)

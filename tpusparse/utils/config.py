@@ -81,6 +81,10 @@ def matmul_precision(override: Optional[str] = None):
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
+        # 'bf16x3' is primarily a Pallas-kernel name (explicit 3-pass
+        # split); on XLA paths treat it as the same fidelity class so a
+        # global set_config(precision='bf16x3') cannot crash dense ops
+        "bf16x3": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[name]
 
