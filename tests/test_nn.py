@@ -218,3 +218,19 @@ def test_mnist_blocksparse_variant_trains(rng):
         params, opt_state, loss = step(params, opt_state, x, y)
         first = first if first is not None else float(loss)
     assert float(loss) < first
+
+
+def test_dense_linear_use_pallas_takes_effect(rng):
+    """use_pallas must actually route through the Pallas GEMM (it was a
+    declared-but-never-read field). Same math, same params."""
+    from tpusparse.nn import DenseLinear
+
+    x = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
+    plain = DenseLinear(64)
+    pallas = DenseLinear(64, use_pallas=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(pallas.apply(params, x)),
+        np.asarray(plain.apply(params, x)),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -230,3 +230,28 @@ def test_ring_flash_preserves_dtype(rng):
     q = jnp.zeros((1, 1, 8 * 128, 64), jnp.bfloat16)
     out = ring_flash_attention(q, q, q, mesh8)
     assert out.dtype == jnp.bfloat16
+
+
+def test_ulysses_per_head_mask(rng):
+    """A mask with a FULL heads dimension must be resharded to each
+    device's local heads (it was applied to head-sharded scores unsliced,
+    returning a wrong-shaped result)."""
+    from tpusparse.parallel.attention import ulysses_attention
+
+    mesh8 = make_mesh((8,), ("seq",))
+    b, h, s, d = 1, 8, 64, 16
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    mask = jnp.asarray(rng.random((b, h, s, s)) > 0.2)
+    out = ulysses_attention(q, k, v, mesh8, mask=mask)
+    assert out.shape == (b, h, s, d)
+    scores = np.einsum(
+        "bhqd,bhkd->bhqk", np.asarray(q, np.float64), np.asarray(k, np.float64)
+    ) / np.sqrt(d)
+    scores = np.where(np.asarray(mask), scores, -1e9)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v, np.float64))
+    assert np.abs(np.asarray(out) - ref).max() / np.abs(ref).max() < 1e-4

@@ -209,3 +209,44 @@ def test_plan_save_load_roundtrip(tmp_path, rng):
     out1 = np.asarray(tiled_spmm_pallas(plan, plan.pack_values(a.data), b))
     out2 = np.asarray(tiled_spmm_pallas(plan2, plan2.pack_values(a.data), b))
     np.testing.assert_allclose(out1, out2)
+
+
+def test_to_dense_unsorted_columns(rng):
+    """Within-row column order is not a CSR invariant (coo_to_csr keeps
+    COO column order); to_dense must not promise sortedness to the
+    scatter in that case."""
+    import tpusparse as ts
+
+    coo = ts.random_coo(50, (32, 48), 0.1)
+    # shuffle the nnz order so columns within a row are unsorted
+    perm = rng.permutation(coo.row.shape[0])
+    shuffled = ts.COO(
+        data=jnp.asarray(np.asarray(coo.data)[perm]),
+        row=jnp.asarray(np.asarray(coo.row)[perm]),
+        col=jnp.asarray(np.asarray(coo.col)[perm]),
+        shape=coo.shape,
+    )
+    csr = ts.coo_to_csr(shuffled)
+    dense = np.zeros(coo.shape, np.float32)
+    dense[np.asarray(coo.row), np.asarray(coo.col)] = np.asarray(coo.data)
+    np.testing.assert_allclose(np.asarray(csr.to_dense()), dense, rtol=1e-6)
+
+
+def test_spmm_reference_minmax_empty_rows_zero(rng):
+    """Empty rows yield 0 under min/max (reference Reducer::write
+    count==0 contract), not the segment identity ±inf — and the plain
+    and return_arg branches must agree."""
+    import tpusparse as ts
+
+    mat = np.zeros((6, 8), np.float32)
+    mat[1, 2] = -3.0
+    mat[4, [1, 5]] = [2.0, -1.0]
+    a = ts.CSR.from_dense(mat)
+    b = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+    for reduce in ("max", "min"):
+        vals = np.asarray(ts.spmm_reference(a, b, reduce=reduce))
+        vals2, _ = ts.spmm_reference(a, b, reduce=reduce, return_arg=True)
+        assert np.isfinite(vals).all()
+        np.testing.assert_allclose(vals, np.asarray(vals2), rtol=1e-6)
+        for i in (0, 2, 3, 5):  # empty rows
+            np.testing.assert_array_equal(vals[i], 0.0)

@@ -181,7 +181,6 @@ class SelfAttention(nn.Module):
 
     num_heads: int
     head_dim: int
-    use_pallas: bool = False
     fused: bool = False  # flash-attention Pallas kernel (O(seq) memory)
     causal: bool = False
 

@@ -126,7 +126,12 @@ class DenseLinear(nn.Module):
         # x @ Wᵀ via the transb op (the reference calls cublasMM with W.t(),
         # cublas_fc_layer.py:41; expressing the transpose through the op
         # avoids materializing Wᵀ).
-        y = ops.transb_mm(x2, kernel)
+        if self.use_pallas:
+            from tpusparse import dense
+
+            y = dense.matmul(x2, kernel, transb=True, use_pallas=True)
+        else:
+            y = ops.transb_mm(x2, kernel)
         y = y.reshape(*lead, self.features)
         if self.use_bias:
             bias = self.param("bias", _ref_bias_init(in_features), (self.features,))

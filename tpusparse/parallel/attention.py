@@ -142,6 +142,15 @@ def ulysses_attention(
             f"heads {h} and seq {s} must divide the '{axis}' axis ({nshards})"
         )
 
+    # a mask with a full heads dimension must follow the head reshard: the
+    # local scores are (b, h/P, s, s), so the mask's head slice for THIS
+    # device's heads is selected inside the body (applying the full-heads
+    # mask directly would broadcast wrongly or crash). Head-free masks
+    # (broadcastable over heads) replicate unchanged.
+    per_head_mask = (
+        mask is not None and mask.ndim == 4 and mask.shape[1] == h
+    )
+
     def body(qs, ks, vs):
         # local: (b, h, s/P, hd) -> all_to_all -> (b, h/P, s, hd)
         def scatter_heads(x):
@@ -151,6 +160,12 @@ def ulysses_attention(
             return lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
 
         qh, kh, vh = scatter_heads(qs), scatter_heads(ks), scatter_heads(vs)
+        local_mask = mask
+        if per_head_mask:
+            h_local = h // nshards
+            local_mask = lax.dynamic_slice_in_dim(
+                mask, lax.axis_index(axis) * h_local, h_local, axis=1
+            )
         if fused:
             # each device holds FULL sequences for its local heads, so the
             # single-chip fused flash kernel (and its fused backward)
@@ -167,8 +182,8 @@ def ulysses_attention(
         if causal:
             cm = jnp.tril(jnp.ones((s, s), bool))
             scores = jnp.where(cm, scores, -1e9)
-        if mask is not None:
-            scores = jnp.where(mask, scores, -1e9)
+        if local_mask is not None:
+            scores = jnp.where(local_mask, scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = precise_einsum("bhqk,bhkd->bhqd", probs, vh)
         return gather_seq(ctx)

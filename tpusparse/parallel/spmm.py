@@ -292,20 +292,24 @@ def halo_spmm(
         me = lax.axis_index(axis)
         bc, ns, blk, b_strip = bc[0], ns[0], blk[0], b_strip
 
-        def step(s, carry):
-            acc, b_cur = carry
+        def compute(s, acc, b_cur):
             j = (me + s) % ndev
             plan = hsp.local_plan(
                 lax.dynamic_index_in_dim(bc, j, 0, keepdims=False),
                 lax.dynamic_index_in_dim(ns, j, 0, keepdims=False),
             )
             vals = lax.dynamic_index_in_dim(blk, j, 0, keepdims=False)
-            acc = acc + tiled_spmm_pallas(plan, vals, b_cur)
-            b_next = lax.ppermute(b_cur, axis, perm)
-            return acc, b_next
+            return acc + tiled_spmm_pallas(plan, vals, b_cur)
+
+        def step(s, carry):
+            acc, b_cur = carry
+            return compute(s, acc, b_cur), lax.ppermute(b_cur, axis, perm)
 
         acc = jnp.zeros((hsp.rows_per_dev, n), jnp.float32)
-        acc, _ = lax.fori_loop(0, ndev, step, (acc, b_strip))
+        # last chunk peeled: its rotation result would be discarded, so a
+        # full-trip loop paid one useless strip transfer per call
+        acc, b_last = lax.fori_loop(0, ndev - 1, step, (acc, b_strip))
+        acc = compute(ndev - 1, acc, b_last)
         return acc[None].astype(b_strip.dtype)
 
     out = shard_map(

@@ -54,6 +54,11 @@ def tpusparse_dot_general(
         and rhs.ndim == 2
         and lhs.ndim >= 1
         and preferred_element_type in (None, lhs.dtype)
+        # an explicit per-call precision must be honored — ops.mm runs at
+        # the CONFIG precision, so routing would silently override the
+        # caller's request (and make behavior shape-dependent, since the
+        # fallback path below does honor it)
+        and precision is None
     )
     if not simple:
         return lax.dot_general(

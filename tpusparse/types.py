@@ -182,16 +182,37 @@ class CSR:
         rows = self.row_ids()
         m, k = self.shape
         if m * k < 2**31 - 1:
-            # flat scatter with sortedness hint: CSR order makes the flat
-            # index nondecreasing, which XLA turns into a fast sorted
-            # scatter (~20% over the 2-D form, measured on v5e)
+            # flat scatter with sortedness hint where it actually holds:
+            # within-row column order is NOT a CSR invariant here (e.g.
+            # coo_to_csr of row-sorted-only COO keeps columns unsorted),
+            # and a false indices_are_sorted promise makes the TPU sorted
+            # scatter silently misplace updates. Verify on host when the
+            # pattern is concrete; claim nothing when traced.
+            sorted_hint = False
+            try:
+                idx_np = np.asarray(self.indices, dtype=np.int64)
+                flat_np = (
+                    np.repeat(
+                        np.arange(m, dtype=np.int64),
+                        np.diff(np.asarray(self.indptr)),
+                    )
+                    * k
+                    + idx_np
+                )
+                sorted_hint = bool(np.all(np.diff(flat_np) >= 0))
+            except Exception:  # traced pattern
+                pass
             flat = rows.astype(jnp.int32) * np.int32(k) + jnp.asarray(
                 self.indices
             ).astype(jnp.int32)
             out = (
                 jnp.zeros((m * k,), dtype=self.dtype)
                 .at[flat]
-                .add(self.data, indices_are_sorted=True, unique_indices=False)
+                .add(
+                    self.data,
+                    indices_are_sorted=sorted_hint,
+                    unique_indices=False,
+                )
             )
             return out.reshape(m, k)
         return jnp.zeros(self.shape, dtype=self.dtype).at[rows, self.indices].add(
@@ -297,8 +318,7 @@ class BSR:
         )
 
 
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
+from tpusparse.utils.config import cdiv as _cdiv  # single impl
 
 
 def _expand_indptr(indptr: jnp.ndarray, nnz: int) -> jnp.ndarray:
@@ -469,8 +489,12 @@ def spmm_reference(
     if reduce in ("max", "min"):
         seg = jax.ops.segment_max if reduce == "max" else jax.ops.segment_min
         ext = seg(gathered, rows, num_segments=m)
+        counts0 = jnp.bincount(rows, length=m)
         if not return_arg:
-            return ext
+            # empty rows get 0, matching the reference Reducer::write
+            # count==0 contract (naive_reducer.cuh:94-99) and the
+            # return_arg branch below — NOT the segment identity (±inf)
+            return jnp.where((counts0 > 0)[:, None], ext, 0.0)
         nnz = a.nnz
         e_idx = jnp.arange(nnz, dtype=jnp.int32)[:, None]
         # first nnz index attaining the extremum per (row, col); empty

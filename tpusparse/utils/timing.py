@@ -66,10 +66,13 @@ def device_time_per_iter(
 
     One compiled program per measurement (each distinct iteration count
     recompiles the chained loop, and on the tunneled TPU a 16K-scale
-    compile costs 30-60 s — more than the measurement): runs iters_hi
-    chained iterations, subtracts the globally-calibrated dispatch
+    compile costs 30-60 s — more than the measurement): starts at
+    max(iters_hi, iters_lo) chained iterations (starting LOW would add
+    extra compile rounds, so iters_lo only raises the floor; it is not a
+    low starting count), subtracts the globally-calibrated dispatch
     overhead, and scales the iteration count up until the net time
-    clears `min_delta` of host-roundtrip jitter.
+    clears `min_delta` of host-roundtrip jitter. Warns if the budget runs
+    out before the measurement clears the jitter floor.
     """
     overhead = _dispatch_overhead()
     iters = max(iters_hi, iters_lo)
@@ -83,6 +86,16 @@ def device_time_per_iter(
             best = min(best, time.perf_counter() - t0)
         net = best - overhead
         if net >= min_delta or iters >= max_iters:
+            if net < min_delta:
+                import warnings
+
+                warnings.warn(
+                    f"device_time_per_iter: net time {net:.2e}s never "
+                    f"cleared min_delta={min_delta:.0e} at iters={iters}; "
+                    "the returned per-iter time is noise-dominated",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return max(net / iters, 1e-9)
         scale = 8 if net <= 0 else min(
             8, max(2, int(min_delta / max(net, 1e-9) + 1))
