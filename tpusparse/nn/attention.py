@@ -103,6 +103,43 @@ class SparseSelfAttention(nn.Module):
         return DenseLinear(h, name="out")(ctx)
 
 
+def banded_blocks(q, k_pad, v_pad, window: int, block0_pos, s_total: int):
+    """Blockwise band attention given padded K/V (nbl+2 blocks).
+
+    q: (b, h, nbl, B, hd); k_pad/v_pad: (b, h, nbl+2, B, hd) where
+    block 0 is the left halo and block nbl+1 the right halo.
+    block0_pos: global block index of q's first block (may be traced —
+    the sequence-parallel ring passes its shard base; LocalAttention
+    passes 0 with zero halos). SINGLE implementation shared by the
+    unsharded layer and parallel.ring_local_attention so the two paths
+    cannot drift numerically.
+    """
+    B = window
+    nbl = q.shape[2]
+    k_ext = jnp.concatenate(
+        [k_pad[:, :, :-2], k_pad[:, :, 1:-1], k_pad[:, :, 2:]], axis=3
+    )
+    v_ext = jnp.concatenate(
+        [v_pad[:, :, :-2], v_pad[:, :, 1:-1], v_pad[:, :, 2:]], axis=3
+    )
+    from tpusparse.dense import einsum as precise_einsum
+
+    scores = precise_einsum("bhnqd,bhnkd->bhnqk", q, k_ext) / np.sqrt(
+        q.shape[-1]
+    )
+    qi = np.arange(B)[:, None]
+    kj = np.arange(3 * B)[None, :]
+    band = jnp.asarray(np.abs(qi - kj + B) <= B)  # (B, 3B), block-independent
+    n_idx = block0_pos + jnp.arange(nbl)[:, None, None]
+    key_pos = (n_idx - 1) * B + kj[None]
+    in_range = (key_pos >= 0) & (key_pos < s_total)
+    mask = band[None] & in_range
+    scores = jnp.where(mask[None, None], scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return precise_einsum("bhnqk,bhnkd->bhnqd", probs, v_ext)
+
+
+
 class LocalAttention(nn.Module):
     """Banded (sliding-window) attention computed blockwise on the MXU.
 
@@ -140,32 +177,10 @@ class LocalAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
 
-        def extend(x):  # neighbor blocks: (..., nb, 3B, hd)
-            pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
-            return jnp.concatenate(
-                [pad[:, :, :-2], pad[:, :, 1:-1], pad[:, :, 2:]], axis=3
-            )
+        def halo_pad(x):  # zero halo blocks at both ends: (..., nb+2, B, hd)
+            return jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
 
-        k_ext, v_ext = extend(k), extend(v)
-        from tpusparse.dense import einsum as precise_einsum
-
-        scores = precise_einsum("bhnqd,bhnkd->bhnqk", q, k_ext) / np.sqrt(
-            self.head_dim
-        )
-
-        # mask to the exact band. key j sits at (n-1)·B + kj, query i at
-        # n·B + qi, so i-j = qi - kj + B — block-independent; boundary
-        # blocks additionally mask keys outside [0, s)
-        qi = np.arange(B)[:, None]
-        kj = np.arange(3 * B)[None, :]
-        band = np.abs(qi - kj + B) <= B  # (B, 3B) static
-        n_idx = jnp.arange(nb)[:, None, None]
-        key_pos = (n_idx - 1) * B + kj[None]
-        in_range = (key_pos >= 0) & (key_pos < s)
-        mask = jnp.asarray(band)[None] & in_range  # (nb, B, 3B)
-        scores = jnp.where(mask[None, None], scores, -1e9)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = precise_einsum("bhnqk,bhnkd->bhnqd", probs, v_ext)
+        ctx = banded_blocks(q, halo_pad(k), halo_pad(v), B, 0, s)
         ctx = ctx.reshape(b, self.num_heads, s, self.head_dim)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
         return DenseLinear(h, name="out")(ctx)

@@ -25,36 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpusparse.parallel.mesh import shard_map
 
 
-def _banded_blocks(q, k_pad, v_pad, window: int, block0_pos, s_total: int):
-    """Blockwise band attention given padded K/V (nbl+2 blocks).
-
-    q: (b, h, nbl, B, hd); k_pad/v_pad: (b, h, nbl+2, B, hd) where
-    block 0 is the left halo and block nbl+1 the right halo.
-    block0_pos: global block index of q's first block (traced scalar).
-    """
-    B = window
-    nbl = q.shape[2]
-    k_ext = jnp.concatenate(
-        [k_pad[:, :, :-2], k_pad[:, :, 1:-1], k_pad[:, :, 2:]], axis=3
-    )
-    v_ext = jnp.concatenate(
-        [v_pad[:, :, :-2], v_pad[:, :, 1:-1], v_pad[:, :, 2:]], axis=3
-    )
-    from tpusparse.dense import einsum as precise_einsum
-
-    scores = precise_einsum("bhnqd,bhnkd->bhnqk", q, k_ext) / np.sqrt(
-        q.shape[-1]
-    )
-    qi = np.arange(B)[:, None]
-    kj = np.arange(3 * B)[None, :]
-    band = jnp.asarray(np.abs(qi - kj + B) <= B)  # (B, 3B), block-independent
-    n_idx = block0_pos + jnp.arange(nbl)[:, None, None]
-    key_pos = (n_idx - 1) * B + kj[None]
-    in_range = (key_pos >= 0) & (key_pos < s_total)
-    mask = band[None] & in_range
-    scores = jnp.where(mask[None, None], scores, -1e9)
-    probs = jax.nn.softmax(scores, axis=-1)
-    return precise_einsum("bhnqk,bhnkd->bhnqd", probs, v_ext)
+from tpusparse.nn.attention import banded_blocks as _banded_blocks
 
 
 def ring_local_attention(
