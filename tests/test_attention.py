@@ -286,3 +286,15 @@ def test_flash_non_dividing_block_sizes(rng):
     out = np.asarray(flash_attention(q, k, v, block_q=512, block_k=384))
     ref = np.asarray(_reference_attention(q, k, v, False, 0.125))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_bert_layer_rejects_bad_config(rng):
+    from tpusparse.models import BertAttentionLayer
+
+    x = jnp.zeros((1, 64, 768), jnp.float32)
+    with pytest.raises(ValueError, match="unknown attention"):
+        BertAttentionLayer(attention="locall").init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="mask"):
+        BertAttentionLayer(attention="local").init(
+            jax.random.PRNGKey(0), x, jnp.ones((64, 64), bool)
+        )

@@ -115,3 +115,17 @@ def test_global_bf16x3_precision_does_not_crash_dense():
         np.testing.assert_allclose(np.asarray(out), 8.0)
     finally:
         set_config(precision="high")
+
+
+def test_matmul_1d_with_transpose_flags(rng):
+    """transb must apply to the 2-D operand even when the other operand
+    is 1-D (the flags were silently ignored on the 1-D fallback)."""
+    from tpusparse import dense
+
+    v = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    M = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+    out = np.asarray(dense.matmul(v, M, transb=True))
+    ref = np.asarray(v, np.float64) @ np.asarray(M, np.float64).T
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="transa"):
+        dense.matmul(v, M, transa=True)

@@ -312,3 +312,37 @@ def test_spmm_bf16_operands(rng, method):
     out = ts.spmm(a16, b16, method=method)
     err = np.abs(np.asarray(out, np.float32) - ref).max() / np.abs(ref).max()
     assert err < 0.05, (method, err)
+
+
+def test_spmm_rejects_reducer_on_sum_only_methods(rng):
+    """Explicit sum-only kernels must raise for a requested reducer, not
+    silently return the sum."""
+    a = ts.random_csr(15, (32, 48), 0.1)
+    b = jnp.asarray(rng.normal(size=(48, 8)).astype(np.float32))
+    for method in ("gather", "tiled", "footprint", "dense"):
+        with pytest.raises(ValueError, match="sum"):
+            ts.spmm(a, b, method=method, reduce="max")
+    # naive and auto still honor reducers
+    out = np.asarray(ts.spmm(a, b, method="naive", reduce="max"))
+    np.testing.assert_allclose(
+        out, np.asarray(ts.spmm_reference(a, b, reduce="max")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_spmm_auto_works_under_jit(rng):
+    """Traced patterns must route to gather (jittable fallback) — routing
+    to tiled crashed with a TracerArrayConversionError from the host
+    inspector."""
+    a = ts.random_csr(16, (64, 96), 0.05)
+    b = jnp.asarray(rng.normal(size=(96, 16)).astype(np.float32))
+
+    @jax.jit
+    def run(data, indices, indptr, bb):
+        a2 = ts.CSR(data=data, indices=indices, indptr=indptr, shape=(64, 96))
+        return ts.spmm(a2, bb)
+
+    out = np.asarray(run(a.data, a.indices, a.indptr, b))
+    np.testing.assert_allclose(
+        out, _dense_ref(a, b), rtol=1e-4, atol=5e-5
+    )

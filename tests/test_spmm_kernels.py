@@ -365,3 +365,19 @@ def test_footprint_bf16_accumulates_in_f32(rng):
     err_f = np.abs(out_f - ref).max() / np.abs(ref).max()
     err_t = np.abs(out_t - ref).max() / np.abs(ref).max()
     assert err_f < 3 * err_t + 1e-3, (err_f, err_t)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_naive_kernel_minmax_empty_rows_zero(rng, reduce):
+    """The Pallas naive kernel must write 0 (not the ±inf loop identity)
+    for empty rows under min/max — reference Reducer::write count==0."""
+    mat = np.zeros((16, 24), np.float32)
+    mat[3, [1, 5]] = [2.0, -3.0]
+    a = CSR.from_dense(mat)
+    b = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+    out = np.asarray(naive_spmm_pallas(ell_pack(a), a.shape, b, reduce=reduce))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(
+        out, np.asarray(spmm_reference(a, b, reduce=reduce)),
+        rtol=1e-5, atol=1e-5,
+    )

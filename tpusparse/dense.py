@@ -24,16 +24,10 @@ from jax import lax
 from tpusparse.kernels.gemm import gemm_pallas
 from tpusparse.utils.config import get_config
 
-_PRECISION = {
-    "highest": lax.Precision.HIGHEST,
-    "high": lax.Precision.HIGH,
-    "bf16x3": lax.Precision.HIGH,  # see config.matmul_precision note
-    "default": lax.Precision.DEFAULT,
-}
-
-
 def _precision():
-    return _PRECISION[get_config().precision]
+    from tpusparse.utils.config import matmul_precision
+
+    return matmul_precision()  # single name->lax.Precision mapping
 
 
 def split_bf16_rtn(x: jnp.ndarray):
@@ -116,14 +110,21 @@ def matmul(
     (custom_mm.cpp:104-164) plus the ≥5-D loop path (matmuls.py:61-63),
     and the 1-D matrix-vector fallback (matmuls.py:39-41).
     """
+    # transpose flags first: the 1-D fallback below must not silently
+    # ignore a requested transpose of the 2-D operand (flags on a 1-D
+    # operand itself are meaningless and rejected)
+    if transa:
+        if a.ndim < 2:
+            raise ValueError("transa requires a ≥2-D left operand")
+        a = jnp.swapaxes(a, -1, -2)
+    if transb:
+        if b.ndim < 2:
+            raise ValueError("transb requires a ≥2-D right operand")
+        b = jnp.swapaxes(b, -1, -2)
+
     if a.ndim == 1 or b.ndim == 1:
         # Reference falls back to torch matmul for vectors (matmuls.py:39-41).
         return _mm(a, b)
-
-    if transa:
-        a = jnp.swapaxes(a, -1, -2)
-    if transb:
-        b = jnp.swapaxes(b, -1, -2)
 
     if a.ndim == 2 and b.ndim == 2:
         cfg = get_config()

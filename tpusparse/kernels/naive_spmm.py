@@ -102,6 +102,11 @@ def _naive_kernel(
         acc = jax.lax.fori_loop(0, count, body, init)
         if reduce == "mean":
             acc = acc / jnp.maximum(count, 1).astype(jnp.float32)
+        if reduce in ("max", "min"):
+            # empty rows write 0, not the ±inf loop identity — the
+            # reference Reducer::write count==0 contract
+            # (naive_reducer.cuh:94-99), matching spmm_reference
+            acc = jnp.where(count > 0, acc, 0.0)
         o_ref[pl.ds(r, 1), :] = acc.astype(o_ref.dtype)
 
 

@@ -37,6 +37,13 @@ class BertAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         head_dim = self.hidden // self.num_heads
+        if mask is not None and self.attention in ("local", "sparse"):
+            # these variants carry their masking in the pattern itself; a
+            # user-supplied mask would be silently ignored otherwise
+            raise ValueError(
+                f"attention={self.attention!r} does not accept a mask "
+                "(its sparsity pattern IS the mask); use 'dense'"
+            )
         if self.attention == "local":
             attn = LocalAttention(
                 num_heads=self.num_heads,
@@ -52,6 +59,11 @@ class BertAttentionLayer(nn.Module):
                 num_global=self.num_global,
                 name="attention",
             )(x)
+        elif self.attention not in ("dense", "flash"):
+            raise ValueError(
+                f"unknown attention {self.attention!r}; options: "
+                "'dense', 'flash', 'local', 'sparse'"
+            )
         else:
             attn = SelfAttention(
                 num_heads=self.num_heads,

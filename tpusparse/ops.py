@@ -345,13 +345,9 @@ def gather_spmm(a: CSR, b: jnp.ndarray) -> jnp.ndarray:
     _check_spmm_b(a, b)
     if b.ndim == 3:
         return jax.lax.map(lambda bb: gather_spmm(a, bb), b)
-    try:  # concrete pattern: expand rows once on host, a trace constant
-        rows = np.repeat(
-            np.arange(a.shape[0], dtype=np.int32), np.diff(np.asarray(a.indptr))
-        )
-    except Exception:  # traced indptr
-        rows = a.row_ids()
-    return _gather_spmm(a.shape, (a.data, a.indices, rows), b)
+    # CSR.row_ids() already does host expansion for concrete patterns
+    # with the jittable searchsorted fallback for traced ones
+    return _gather_spmm(a.shape, (a.data, a.indices, a.row_ids()), b)
 
 
 def resolve_ell_width(a: CSR) -> int:
@@ -514,8 +510,11 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     try:
         indptr = np.asarray(a.indptr)
         indices = np.asarray(a.indices)
-    except Exception:  # traced pattern: only the plan path supports it
-        return "tiled"
+    except Exception:
+        # traced pattern: the plan path CANNOT run (the inspector needs
+        # concrete indices); gather is the one method with a fully
+        # jittable fallback (row_ids searchsorted)
+        return "gather"
     m, k = a.shape
     bm, bk = blocksize or (cfg.spmm_block_m, cfg.spmm_block_k)
     n = int(b.shape[-1])
@@ -601,6 +600,14 @@ def spmm(
         if b.ndim == 3:
             return jax.lax.map(lambda bb: spmm_reference(a, bb, reduce=reduce), b)
         return spmm_reference(a, b, reduce=reduce)
+    if reduce != "sum" and method != "naive":
+        # tiled/footprint/gather/dense are sum-only kernels; silently
+        # returning the sum for an explicitly requested reducer would be
+        # wrong values, not an approximation
+        raise ValueError(
+            f"method {method!r} supports reduce='sum' only (got {reduce!r}); "
+            "use method='naive', 'reference', or 'auto'"
+        )
     if method == "auto":
         method = _route_spmm(a, b, blocksize)
     if method == "tiled":
@@ -611,10 +618,13 @@ def spmm(
         return gather_spmm(a, b)
     if method == "dense":
         # densify and ride the MXU — the right call when nearly every
-        # block is occupied (the reference's torch.matmul fallback regime)
+        # block is occupied (the reference's torch.matmul fallback regime).
+        # Densify ONCE outside the batch map: the ~9 ns/nnz scatter would
+        # otherwise re-run per batch element inside the scan body
+        ad = a.to_dense()
         if b.ndim == 3:
-            return jax.lax.map(lambda bb: dense.matmul(a.to_dense(), bb), b)
-        return dense.matmul(a.to_dense(), b)
+            return jax.lax.map(lambda bb: dense.matmul(ad, bb), b)
+        return dense.matmul(ad, b)
     if method == "naive":
         return naive_spmm(a, b, reduce=reduce)
     if method == "reference":

@@ -239,7 +239,13 @@ def _inspect_numpy(
     slot = slot_of_uniq[inv]
     scatter_idx = (
         (brow * ell_width + slot) * (bm * bk) + (rows % bm) * bk + (cols % bk)
-    ).astype(np.int32)
+    )
+    # keep int64 when the flat pack buffer exceeds int32 (skewed patterns
+    # can drive nbr*L*bm*bk past 2^31; an unconditional downcast wraps to
+    # negative indices and silently misplaces values — the native
+    # inspector guards this identically, runtime/native.py)
+    if nbr * np.int64(ell_width) * bm * bk < 2**31:
+        scatter_idx = scatter_idx.astype(np.int32)
 
     return block_cols, counts.astype(np.int32), scatter_idx, ell_width, len(uniq)
 
@@ -743,8 +749,9 @@ def footprint_plan(plan: Plan, rows_per_super: int = 16) -> FootprintPlan:
     is_new = newcol_flat == 1
     ucols[srt_s[is_new], bslot_flat[is_new]] = srt_c[is_new].astype(np.int32)
 
-    # padded per-super ELL layout (pad slots never execute: l >= nslots[s];
-    # bslot pads repeat the last valid ordinal so no stray B fetch is issued)
+    # padded per-super ELL layout — pad slots are zero-filled and NEVER
+    # execute (the kernel's fori_loop stops at nslots[s]); do not read
+    # them from a kernel extension without masking
     lrow = np.zeros((ns, Ls), dtype=np.int32)
     bslot = np.zeros((ns, Ls), dtype=np.int32)
     newcol = np.zeros((ns, Ls), dtype=np.int32)
