@@ -10,8 +10,9 @@ single-call wall-clocking here measures the host↔TPU tunnel (~25 ms), not
 the kernel.
 
 Headline workload: block-sparse weights (10% of 128×128 blocks occupied)
-at 16384×16384 × dense 16384×512 — the regime the tiled executor is
-designed for (MXU-sized blocks, DMA-ring B-tile gathers). The unstructured
+at 16384×16384 × dense 16384×512 — the regime the plan executors are
+designed for (MXU-sized blocks; the dispatcher picks the resident-B-panel
+kernel here, with the ELL DMA-ring as the big-K fallback). The unstructured
 ultra-sparse regime (reference tiledspmm test, ~1/n density) and dense
 GEMM / BERT-attention sub-metrics land in BENCH_DETAILS.json.
 
@@ -29,8 +30,21 @@ def main():
     import jax.numpy as jnp
 
     import tpusparse as ts
-    from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+    from tpusparse.ops import _block_exec
+    from tpusparse.kernels.tiled_spmm import resident_vmem_bytes
     from tpusparse.plan import build_plan
+    from tpusparse.utils.config import get_config
+
+    def _executor_name(plan, b):
+        cfg = get_config()
+        bn = min(cfg.spmm_block_n, b.shape[-1])
+        fits = (
+            plan.nblocks >= plan.num_col_blocks
+            and resident_vmem_bytes(plan, b.shape[-1], b.dtype.itemsize, bn)
+            <= cfg.vmem_limit_bytes
+        )
+        return "resident" if fits else "tiled"
+
     from tpusparse.utils.timing import device_time_per_iter
 
     details = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
@@ -57,13 +71,16 @@ def main():
 
         def sparse_step(x):
             bv_, b = x
-            return bv_, norm(tiled_spmm_pallas(plan, bv_, b))
+            # the framework's executor dispatch (resident-B when the
+            # panel fits VMEM, ELL-ring otherwise) — what spmm_blocks /
+            # method='auto' callers actually run
+            return bv_, norm(_block_exec(plan, bv_, b))
 
         # repeats happen inside one compiled program (recompiling the
         # chained loop per round costs more than the measurement itself)
         t_dense = device_time_per_iter(dense_step, (a_dense, b0), repeats=5)
         t_sparse = device_time_per_iter(sparse_step, (bv, b0), repeats=5)
-        out = np.asarray(tiled_spmm_pallas(plan, bv, b0))
+        out = np.asarray(_block_exec(plan, bv, b0))
         ref = np.asarray(
             jnp.matmul(a_dense, b0, precision=jax.lax.Precision.HIGHEST)
         )
@@ -80,6 +97,7 @@ def main():
             "rel_err": rel_err,
             "plan_nblocks": plan.nblocks,
             "plan_ell_width": plan.ell_width,
+            "executor": _executor_name(plan, b0),
         }
 
     def block_sparse_csr(seed, shape, bshape, occupancy):

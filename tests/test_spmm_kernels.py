@@ -381,3 +381,113 @@ def test_naive_kernel_minmax_empty_rows_zero(rng, reduce):
         out, np.asarray(spmm_reference(a, b, reduce=reduce)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Resident (B-panel-in-VMEM) executor
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape_a", SHAPE_GRID)
+@pytest.mark.parametrize("density", [0.05, 0.2])
+def test_resident_spmm_vs_reference(rng, shape_a, density):
+    from tpusparse.kernels.tiled_spmm import resident_spmm_pallas
+
+    a, b = _case(11, shape_a, density, 48, rng)
+    plan = build_plan(a, blocksize=(8, 8))
+    out = resident_spmm_pallas(plan, plan.pack_values(a.data), b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_resident_matches_tiled_multi_n_tile(rng):
+    """Several n tiles (grid j > 1): the panel reloads per n-tile and the
+    two executors must agree exactly (same slot order, same dots)."""
+    from tpusparse.kernels.tiled_spmm import resident_spmm_pallas
+
+    a = random_csr(12, (64, 128), 0.15)
+    b = jnp.asarray(rng.random((128, 96), dtype=np.float32))
+    plan = build_plan(a, blocksize=(8, 16))
+    bv = plan.pack_values(a.data)
+    o_t = np.asarray(tiled_spmm_pallas(plan, bv, b, block_n=32))
+    o_r = np.asarray(resident_spmm_pallas(plan, bv, b, block_n=32))
+    np.testing.assert_array_equal(o_t, o_r)
+
+
+def test_resident_vmem_overflow_raises(rng):
+    from tpusparse.kernels.tiled_spmm import resident_spmm_pallas
+    from tpusparse.utils.config import set_config
+
+    a = random_csr(13, (64, 128), 0.2)
+    b = jnp.asarray(rng.random((128, 64), dtype=np.float32))
+    plan = build_plan(a, blocksize=(8, 8))
+    set_config(vmem_limit_bytes=1 << 12)
+    try:
+        with pytest.raises(ValueError, match="VMEM"):
+            resident_spmm_pallas(plan, plan.pack_values(a.data), b)
+    finally:
+        set_config(vmem_limit_bytes=64 << 20)
+
+
+def test_resident_bf16_accumulates_f32(rng):
+    from tpusparse.kernels.tiled_spmm import resident_spmm_pallas
+
+    a = random_csr(14, (64, 64), 0.2)
+    b16 = jnp.asarray(rng.random((64, 48), dtype=np.float32)).astype(jnp.bfloat16)
+    plan = build_plan(a, blocksize=(8, 8))
+    bv16 = plan.pack_values(a.data).astype(jnp.bfloat16)
+    out = np.asarray(
+        resident_spmm_pallas(plan, bv16, b16, out_dtype=jnp.float32)
+    )
+    ref = np.asarray(spmm_reference(a, b16.astype(jnp.float32)))
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 0.02, err
+
+
+def test_resident_spmm_public_grad(rng):
+    """ops.resident_spmm forward + dA/dB gradients vs the tiled path."""
+    import tpusparse as ts
+
+    a = random_csr(15, (64, 96), 0.15)
+    b = jnp.asarray(rng.random((96, 32), dtype=np.float32))
+
+    out = np.asarray(ts.resident_spmm(a, b))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_reference(a, b)), rtol=1e-4, atol=1e-5
+    )
+
+    def f_res(data, bb):
+        a2 = CSR(data=data, indices=a.indices, indptr=a.indptr, shape=a.shape)
+        return jnp.sum(ts.resident_spmm(a2, bb) ** 2)
+
+    def f_tiled(data, bb):
+        a2 = CSR(data=data, indices=a.indices, indptr=a.indptr, shape=a.shape)
+        return jnp.sum(ts.tiled_spmm(a2, bb) ** 2)
+
+    g_r = jax.grad(f_res, argnums=(0, 1))(a.data, b)
+    g_t = jax.grad(f_tiled, argnums=(0, 1))(a.data, b)
+    for gr, gt in zip(g_r, g_t):
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(gt), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_resident_vmem_check_not_cached_by_jit(rng):
+    """The fit check must fire even when a trace for the same signature
+    is already cached from before the budget shrank (measured on TPU:
+    a trace-time check was silently skipped via the jit cache)."""
+    from tpusparse.kernels.tiled_spmm import resident_spmm_pallas
+    from tpusparse.utils.config import set_config
+
+    a = random_csr(16, (64, 128), 0.2)
+    b = jnp.asarray(rng.random((128, 64), dtype=np.float32))
+    plan = build_plan(a, blocksize=(8, 8))
+    bv = plan.pack_values(a.data)
+    resident_spmm_pallas(plan, bv, b)  # populate the jit cache
+    set_config(vmem_limit_bytes=1 << 12)
+    try:
+        with pytest.raises(ValueError, match="VMEM"):
+            resident_spmm_pallas(plan, bv, b)
+    finally:
+        set_config(vmem_limit_bytes=64 << 20)

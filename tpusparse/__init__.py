@@ -41,6 +41,7 @@ from tpusparse.ops import (
     spmm,
     spmm_blocks,
     footprint_spmm,
+    resident_spmm,
     gather_spmm,
     naive_spmm,
     tiled_spmm,
@@ -83,6 +84,7 @@ __all__ = [
     "spmm",
     "spmm_blocks",
     "footprint_spmm",
+    "resident_spmm",
     "gather_spmm",
     "naive_spmm",
     "tiled_spmm",

@@ -191,6 +191,207 @@ def tiled_spmm_pallas(
 
 
 # -----------------------------------------------------------------------------
+# Resident executor — the whole (k, bn) panel of B is DMA'd into a VMEM
+# cache ONCE per n-tile and every slot's (bk, bn) tile is a dynamic VMEM
+# slice of it. This is the limit case of the reference's footprint
+# compression (sparse_mm.cu:163-187): instead of staging each *needed* B
+# row once per row-block in 96KB of shared memory, VMEM on TPU is large
+# enough (64-128 MB) to stage the *entire* panel once for ALL row-blocks,
+# so B traffic drops from nblocks*(bk*bn) to k*bn per n-tile and the
+# per-slot critical path loses its HBM gather entirely (SMEM index read +
+# VMEM slice + MXU only). Applicable when k*bn*itemsize fits the VMEM
+# budget next to the vals pipeline — the wrapper guards and the router
+# costs it.
+# -----------------------------------------------------------------------------
+
+
+def _resident_kernel(
+    cols_ref,  # (nbr*L,) int32, SMEM (scalar prefetch)
+    nslots_ref,  # (nbr,) int32, SMEM (scalar prefetch)
+    vals_ref,  # (1, L, bm, bk) VMEM block for this row-block
+    b_hbm,  # (kp, np) in ANY/HBM
+    o_ref,  # (bm, bn) VMEM block
+    bcache,  # (kp, bn) VMEM scratch — resident B panel
+    sem,  # DMA semaphore
+    *,
+    ell_width: int,
+    bn: int,
+    precision,
+):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    kp = bcache.shape[0]
+    bk = vals_ref.shape[3]
+    nvalid = nslots_ref[i]
+
+    # land the whole B panel for this n-tile before the first row-block
+    # touches it (grid order is j-major, i-minor; scratch persists across
+    # the i steps — hence the "arbitrary" dimension semantics below)
+    @pl.when(i == 0)
+    def _():
+        copy = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(0, kp), pl.ds(j * bn, bn)], bcache, sem
+        )
+        copy.start()
+        copy.wait()
+
+    def consume(l, acc):
+        col = cols_ref[i * ell_width + l]
+        return acc + mxu.dot(
+            vals_ref[0, l], bcache[pl.ds(col * bk, bk), :], precision
+        )
+
+    # same 4-wide unroll as the ELL-ring executor (hides loop bookkeeping
+    # behind the MXU passes)
+    def body4(t, acc):
+        acc = consume(t * 4, acc)
+        acc = consume(t * 4 + 1, acc)
+        acc = consume(t * 4 + 2, acc)
+        return consume(t * 4 + 3, acc)
+
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    acc = jax.lax.fori_loop(0, nvalid // 4, body4, acc)
+    acc = jax.lax.fori_loop((nvalid // 4) * 4, nvalid, consume, acc)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def resident_vmem_bytes(plan: Plan, n: int, b_itemsize: int, bn: int) -> int:
+    """VMEM footprint estimate of the resident executor (cache + the
+    double-buffered vals and out blocks)."""
+    bm, bk = plan.blocksize
+    kp = plan.num_col_blocks * bk
+    return (
+        kp * bn * b_itemsize
+        + 2 * plan.ell_width * bm * bk * 4
+        + 2 * bm * bn * 4
+    )
+
+
+def resident_spmm_pallas(
+    plan: Plan,
+    block_vals: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_n: int | None = None,
+    out_dtype=None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """C = A @ B with the whole B n-panel resident in VMEM.
+
+    Same (plan, packed values) contract as tiled_spmm_pallas; slots are
+    consumed in the same order, so the output is bitwise identical. Raises
+    if the B panel does not fit the VMEM budget — callers route.
+    """
+    m, k = plan.shape
+    bm, bk = plan.blocksize
+    if b.ndim != 2 or b.shape[0] != k:
+        raise ValueError(f"b shape {b.shape} incompatible with plan k={k}")
+    n = b.shape[1]
+    cfg = get_config()
+
+    # the fit check must run EAGERLY, outside the jitted core: a cached
+    # trace for this signature would silently skip a trace-time check
+    # after the config's vmem budget changes (measured on TPU)
+    bn = min(block_n or cfg.spmm_block_n, round_up(n, 128))
+    est = resident_vmem_bytes(plan, n, b.dtype.itemsize, bn)
+    if est > cfg.vmem_limit_bytes:
+        raise ValueError(
+            f"resident executor needs ~{est >> 20} MiB VMEM "
+            f"(limit {cfg.vmem_limit_bytes >> 20} MiB) for the "
+            f"({plan.num_col_blocks * bk}, {bn}) B panel; use the ELL "
+            "(tiled_spmm_pallas) executor"
+        )
+    return _resident_spmm_pallas_jit(
+        plan, block_vals, b, block_n=bn, out_dtype=out_dtype,
+        precision=precision,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "out_dtype", "precision"),
+)
+def _resident_spmm_pallas_jit(
+    plan: Plan,
+    block_vals: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_n: int,
+    out_dtype,
+    precision: str | None,
+) -> jnp.ndarray:
+    m, k = plan.shape
+    bm, bk = plan.blocksize
+    n = b.shape[1]
+    cfg = get_config()
+    out_dtype = out_dtype or jnp.result_type(block_vals.dtype, b.dtype)
+    bn = block_n
+    kp = plan.num_col_blocks * bk
+    np_ = round_up(n, bn)
+    if (kp, np_) != b.shape:
+        b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+
+    nbr = plan.num_row_blocks
+    L = plan.ell_width
+    grid = (np_ // bn, nbr)  # j-major so the panel loads once per n-tile
+
+    resolved = pallas_precision(precision)
+    kernel = functools.partial(
+        _resident_kernel, ell_width=L, bn=bn, precision=resolved
+    )
+    scratch_shapes = [
+        pltpu.VMEM((kp, bn), b.dtype),
+        pltpu.SemaphoreType.DMA,
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, L, bm, bk),
+                lambda j, i, cols, nslots: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn),
+            lambda j, i, cols, nslots: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch_shapes,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * bm, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            # i steps share the bcache scratch state — not reorderable
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_slots * bm * bk * np_,
+            bytes_accessed=(
+                plan.num_slots * bm * bk + kp * np_ + nbr * bm * np_
+            )
+            * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(
+        plan.block_cols.reshape(-1),
+        plan.nslots,
+        block_vals.reshape(nbr, L, bm, bk),
+        b,
+    )
+
+    return out[:m, :n]
+
+
+# -----------------------------------------------------------------------------
 # Compact executor — padding-free vals stream (see plan.CompactPlan docstring):
 # both the slot's value block and its B tile ride the manual DMA ring, so HBM
 # traffic is exactly occupied-blocks × (bm·bk + bk·bn) + C.

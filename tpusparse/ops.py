@@ -28,7 +28,12 @@ import numpy as np
 from tpusparse import dense
 from tpusparse.kernels.naive_spmm import ell_pack, naive_spmm_pallas
 from tpusparse.kernels.sddmm import sddmm_pallas
-from tpusparse.kernels.tiled_spmm import footprint_spmm_pallas, tiled_spmm_pallas
+from tpusparse.kernels.tiled_spmm import (
+    footprint_spmm_pallas,
+    resident_spmm_pallas,
+    resident_vmem_bytes,
+    tiled_spmm_pallas,
+)
 from tpusparse.plan import Plan, build_plan_pair, _fingerprint
 from tpusparse.types import CSR, sddmm_reference, spmm_reference
 
@@ -100,10 +105,32 @@ transab_mm = _make_dense_op(True, True)
 # ----------------------------------------------------------------------------
 
 
+def _block_exec(plan: Plan, block_vals, b, **kw):
+    """Executor dispatch for plan-driven block SpMM: the resident-B-panel
+    kernel when the panel fits the VMEM budget AND the pattern re-uses it
+    (≥1 occupied block per block-column on average — below that the
+    ELL-ring's per-occupied-tile fetches move fewer bytes than one full
+    panel). Both consume the same (plan, packed values) and produce
+    bitwise-identical output, so this is a pure perf decision.
+    """
+    from tpusparse.utils.config import get_config, round_up
+
+    cfg = get_config()
+    n = b.shape[-1]
+    bn = min(kw.get("block_n") or cfg.spmm_block_n, round_up(n, 128))
+    if (
+        plan.nblocks >= plan.num_col_blocks
+        and resident_vmem_bytes(plan, n, b.dtype.itemsize, bn)
+        <= cfg.vmem_limit_bytes
+    ):
+        return resident_spmm_pallas(plan, block_vals, b, **kw)
+    return tiled_spmm_pallas(plan, block_vals, b, **kw)
+
+
 @jax.custom_vjp
 def _tiled_spmm(plan: Plan, plan_t: Plan, t_perm, data, b):
     block_vals = plan.pack_values(data)
-    return tiled_spmm_pallas(plan, block_vals, b)
+    return _block_exec(plan, block_vals, b)
 
 
 def _tiled_spmm_fwd(plan, plan_t, t_perm, data, b):
@@ -123,7 +150,7 @@ def _tiled_spmm_bwd(res, g):
     d_data = plan.unpack_values(d_blocks)
     # dB = Aᵀ · dC through the transpose plan (another tiled SpMM).
     bv_t = plan_t.pack_values(data[t_perm])
-    db = tiled_spmm_pallas(plan_t, bv_t, g)
+    db = _block_exec(plan_t, bv_t, g)
     return (
         _zeros_tangent(plan),
         _zeros_tangent(plan_t),
@@ -134,6 +161,44 @@ def _tiled_spmm_bwd(res, g):
 
 
 _tiled_spmm.defvjp(_tiled_spmm_fwd, _tiled_spmm_bwd)
+
+
+@jax.custom_vjp
+def _resident_spmm(plan: Plan, plan_t: Plan, t_perm, data, b):
+    # forced resident executor (raises if the B panel exceeds VMEM);
+    # gradient algebra identical to the tiled path
+    return resident_spmm_pallas(plan, plan.pack_values(data), b)
+
+
+def _resident_spmm_fwd(plan, plan_t, t_perm, data, b):
+    return _resident_spmm(plan, plan_t, t_perm, data, b), (
+        plan, plan_t, t_perm, data, b,
+    )
+
+
+_resident_spmm.defvjp(_resident_spmm_fwd, _tiled_spmm_bwd)
+
+
+def resident_spmm(
+    a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]] = None
+) -> jnp.ndarray:
+    """Block SpMM with the whole B n-panel resident in VMEM (forced).
+
+    The limit case of the reference's footprint compression
+    (sparse_mm.cu:163-187): B traffic drops to one panel load per n-tile
+    and the per-slot critical path loses its HBM gather. Raises if the
+    (k, block_n) panel exceeds the VMEM budget — `tiled_spmm`/'auto'
+    make this call automatically when profitable. Differentiable.
+    """
+    _check_spmm_b(a, b)
+    plan, plan_t, t_perm = build_plan_pair(a, blocksize)
+    if b.ndim == 2:
+        return _resident_spmm(plan, plan_t, t_perm, a.data, b)
+    if b.ndim == 3:
+        return jax.lax.map(
+            lambda bb: _resident_spmm(plan, plan_t, t_perm, a.data, bb), b
+        )
+    raise ValueError(f"resident_spmm supports 2-D/3-D b, got {b.shape}")
 
 
 @jax.custom_vjp
@@ -152,7 +217,7 @@ def _footprint_spmm_bwd(res, g):
     # same gradient algebra as the tiled path: the backward kernels key on
     # the base ELL plan, independent of the forward's footprint packing
     d_data = plan.unpack_values(sddmm_pallas(plan, g, b))
-    db = tiled_spmm_pallas(plan_t, plan_t.pack_values(data[t_perm]), g)
+    db = _block_exec(plan_t, plan_t.pack_values(data[t_perm]), g)
     return (
         _zeros_tangent(plan),
         _zeros_tangent(plan_t),
@@ -229,7 +294,7 @@ def tiled_spmm(
 @jax.custom_vjp
 def spmm_blocks(plan: Plan, blocks, b):
     """C = A @ B where A is given as the plan's packed ELL blocks."""
-    return tiled_spmm_pallas(plan, blocks, b)
+    return _block_exec(plan, blocks, b)
 
 
 def _spmm_blocks_fwd(plan, blocks, b):
@@ -530,7 +595,23 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     nnz = int(indices.shape[0])
 
     t_gather = nnz * n * 8.0 / _GATHER_ROW_BW
-    tiled_bytes = (nblocks * bk * n + nblocks * bm * bk + m * n * 2) * 4.0
+    # the tiled path upgrades to the resident executor when the B panel
+    # fits VMEM AND the pattern re-uses it; B traffic is then one panel
+    # (k rows) per n-tile instead of one (bk, n) tile per occupied block
+    from tpusparse.kernels.tiled_spmm import resident_vmem_bytes as _rvb
+
+    class _PlanStats:  # cheap stand-in: _rvb only reads these fields
+        blocksize = (bm, bk)
+        num_col_blocks = nbc
+        ell_width = 0
+
+    bn_eff = min(cfg.spmm_block_n, n)
+    resident_ok = (
+        nblocks >= nbc
+        and _rvb(_PlanStats, n, 4, bn_eff) <= cfg.vmem_limit_bytes
+    )
+    b_bytes = min(nblocks * bk, k) * n if resident_ok else nblocks * bk * n
+    tiled_bytes = (b_bytes + nblocks * bm * bk + m * n * 2) * 4.0
     t_tiled = (
         max(
             tiled_bytes / _TILED_BW,
@@ -562,8 +643,10 @@ def spmm(
 ) -> jnp.ndarray:
     """Sparse × dense matmul with method dispatch.
 
-    methods: 'tiled' (inspector-executor Pallas, the MXU perf path),
-    'footprint' (B-tile-reuse variant — one fetch per distinct column per
+    methods: 'tiled' (inspector-executor Pallas, the MXU perf path;
+    transparently upgrades to the resident-B executor when the panel fits
+    VMEM), 'resident' (forced resident-B-panel executor), 'footprint'
+    (B-tile-reuse variant — one fetch per distinct column per
     super-row-block), 'gather' (XLA take/scatter-add, the low-fill perf
     path), 'dense'
     (densify + MXU matmul, the near-full regime), 'naive' (gather Pallas
@@ -614,6 +697,8 @@ def spmm(
         return tiled_spmm(a, b, blocksize=blocksize)
     if method == "footprint":
         return footprint_spmm(a, b, blocksize=blocksize)
+    if method == "resident":
+        return resident_spmm(a, b, blocksize=blocksize)
     if method == "gather":
         return gather_spmm(a, b)
     if method == "dense":
