@@ -250,3 +250,63 @@ def test_spmm_reference_minmax_empty_rows_zero(rng):
         np.testing.assert_allclose(vals, np.asarray(vals2), rtol=1e-6)
         for i in (0, 2, 3, 5):  # empty rows
             np.testing.assert_array_equal(vals[i], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Operator sugar on CSR (thin wrappers over the public op surface)
+# ---------------------------------------------------------------------------
+
+
+def test_csr_operators(rng):
+    import jax.numpy as jnp
+    from tpusparse import random_csr
+
+    a = random_csr(30, (16, 24), 0.2)
+    b = random_csr(31, (16, 24), 0.2)
+    c = random_csr(32, (24, 12), 0.2)
+    x = jnp.asarray(rng.random((24, 8), dtype=np.float32))
+    y = jnp.asarray(rng.random((4, 16), dtype=np.float32))
+    ad = np.asarray(a.to_dense(), np.float64)
+    bd = np.asarray(b.to_dense(), np.float64)
+    cd = np.asarray(c.to_dense(), np.float64)
+
+    np.testing.assert_allclose(
+        np.asarray(a @ x), ad @ np.asarray(x, np.float64), rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y @ a), np.asarray(y, np.float64) @ ad, rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray((a @ c).to_dense()), ad @ cd, rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray((a + b).to_dense()), ad + bd, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray((a - b).to_dense()), ad - bd, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray((a * b).to_dense()), ad * bd, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray((2.0 * a).to_dense()), 2.0 * ad)
+    np.testing.assert_allclose(np.asarray((a * 2.0).to_dense()), 2.0 * ad)
+    np.testing.assert_allclose(np.asarray((-a).to_dense()), -ad)
+
+
+def test_csr_mul_dense_array_rejected():
+    from tpusparse import random_csr
+
+    a = random_csr(33, (8, 8), 0.2)
+    with pytest.raises(TypeError):
+        a * np.ones((8, 8))  # dense broadcast would silently densify
+
+
+def test_spmm_accepts_coo(rng):
+    import jax.numpy as jnp
+    from tpusparse import random_coo, spmm
+
+    a = random_coo(34, (32, 48), 0.1)
+    x = jnp.asarray(rng.random((48, 8), dtype=np.float32))
+    out = spmm(a, x, method="gather")
+    ref = np.asarray(a.to_dense(), np.float64) @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=5e-5)

@@ -46,6 +46,23 @@ from tpusparse.ops import (
     naive_spmm,
     tiled_spmm,
     sddmm,
+    dsmm,
+    transpose_csr,
+)
+from tpusparse.spgemm import spgemm, spgemm_plan, SpGEMMPlan
+from tpusparse.elementwise import (
+    sp_add,
+    sp_sub,
+    sp_hadamard,
+    sp_scale,
+    sp_map,
+    prune_csr,
+    row_reduce,
+    col_reduce,
+    sp_norm,
+    vstack,
+    hstack,
+    block_diag,
 )
 from tpusparse.plan import (
     Plan,
@@ -89,6 +106,23 @@ __all__ = [
     "naive_spmm",
     "tiled_spmm",
     "sddmm",
+    "dsmm",
+    "transpose_csr",
+    "spgemm",
+    "spgemm_plan",
+    "SpGEMMPlan",
+    "sp_add",
+    "sp_sub",
+    "sp_hadamard",
+    "sp_scale",
+    "sp_map",
+    "prune_csr",
+    "row_reduce",
+    "col_reduce",
+    "sp_norm",
+    "vstack",
+    "hstack",
+    "block_diag",
     "patch",
     "PatchedDense",
     "patch_flax_dense",

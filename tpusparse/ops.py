@@ -529,6 +529,83 @@ def sddmm(
 
 
 # ----------------------------------------------------------------------------
+# Dense × sparse (DSMM): X @ A with the SPARSE operand on the right — the
+# orientation every FC layer wants (activations @ sparse weightsᵀ). The
+# reference has no such kernel (its cusparseLinear transposes activations
+# through sparse_matmul's 2-D×3-D reshape quirks, matmuls.py:216-220);
+# here it is spmm through the host-cached transposed pattern:
+# X @ A = (Aᵀ @ Xᵀ)ᵀ, with Aᵀ built once per pattern fingerprint.
+# ----------------------------------------------------------------------------
+
+
+_T_CACHE = {}
+
+
+def transpose_csr(a: CSR) -> CSR:
+    """CSR transpose with the pattern work hoisted to the host.
+
+    For concrete patterns the column-sort permutation is computed once
+    per fingerprint and cached; per call the (traced) values ride one
+    gather. Traced patterns fall back to the jittable CSR.transpose.
+    """
+    try:
+        indptr = np.asarray(a.indptr)
+        indices = np.asarray(a.indices)
+    except Exception:  # traced pattern
+        return a.T
+    key = _fingerprint(a.shape, (1, 1), indptr, indices)
+    hit = _T_CACHE.get(key)
+    if hit is None:
+        m, n = a.shape
+        rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+        perm = np.argsort(indices, kind="stable")
+        t_indices = rows[perm].astype(np.int32)
+        t_indptr = np.zeros(n + 1, dtype=np.int32)
+        t_indptr[1:] = np.cumsum(np.bincount(indices, minlength=n)).astype(
+            np.int32
+        )
+        hit = (perm, t_indices, t_indptr)
+        _T_CACHE[key] = hit
+    perm, t_indices, t_indptr = hit
+    # pattern arrays stay HOST numpy: jnp.asarray inside a jit trace would
+    # stage them as traced constants, breaking downstream host inspectors
+    # (build_plan etc.) — found driving dsmm(method='tiled') under jit
+    return CSR(
+        data=a.data[perm],
+        indices=t_indices,
+        indptr=t_indptr,
+        shape=(a.shape[1], a.shape[0]),
+    )
+
+
+def dsmm(
+    x: jnp.ndarray,
+    a: CSR,
+    method: str = "auto",
+    blocksize: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Dense × sparse matmul: X @ A (A sparse CSR on the RIGHT).
+
+    Computed as (Aᵀ @ Xᵀ)ᵀ through the cached transposed pattern, so it
+    inherits every spmm method ('auto'/'tiled'/'gather'/...) and their
+    autograd. 1-D x is the vector-matrix product xᵀA; N-D x batches over
+    leading dims.
+    """
+    if x.ndim >= 1 and x.shape[-1] != a.shape[0]:
+        raise ValueError(
+            f"x shape {x.shape} incompatible with right sparse operand "
+            f"{a.shape} (need x.shape[-1] == {a.shape[0]})"
+        )
+    at = transpose_csr(a)
+    if x.ndim == 1:
+        return spmm(at, x, method=method, blocksize=blocksize)
+    out = spmm(
+        at, jnp.swapaxes(x, -1, -2), method=method, blocksize=blocksize
+    )
+    return jnp.swapaxes(out, -1, -2)
+
+
+# ----------------------------------------------------------------------------
 # Dispatching SpMM (analog of cusparseMM.apply / sparse_matmul routing)
 # ----------------------------------------------------------------------------
 
@@ -658,12 +735,14 @@ def spmm(
     (the reference routes the 3-D cusparse path through the naive kernel,
     matmuls.py:224).
     """
-    from tpusparse.types import BSR, bsr_to_csr
+    from tpusparse.types import BSR, COO, bsr_to_csr, coo_to_csr
 
     if isinstance(a, BSR):
         # BSR carries its natural tile size — use it as the plan blocksize
         blocksize = blocksize or a.blocksize
         a = bsr_to_csr(a)
+    elif isinstance(a, COO):
+        a = coo_to_csr(a)  # native counting sort for concrete patterns
     from tpusparse.utils.config import get_config
 
     if get_config().debug_checks:

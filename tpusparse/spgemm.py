@@ -1,0 +1,370 @@
+"""SpGEMM — C = A @ B with BOTH operands sparse (CSR), result sparse.
+
+New capability beyond the reference surface: every reference kernel is
+sparse x dense (SURVEY.md §2.1 K1-K9; src/baseline_mm.cu, src/sparse_mm.cu),
+so composing sparse operators (graph ops like A@A, pruned-weight products)
+forces a densify round-trip there. This module closes the algebra under
+multiplication the TPU-native way, reusing the framework's inspector-
+executor architecture (the design idea behind TiledSpMM_inspect,
+reference src/sparse_mm.cu:137-368):
+
+  * A host symbolic pass (numpy, trace-time constant, fingerprint-cached
+    like plan.build_plan) computes C's CSR pattern and a flat
+    *multiplication schedule*: (a_pos, b_pos, c_pos) triples enumerating
+    every scalar product A[i,k]*B[k,j] and the C slot it accumulates
+    into, pre-sorted by c_pos.
+  * The device numeric pass is two gathers, one multiply, and one sorted
+    segment-sum — the XLA-idiomatic execution for irregular accumulation
+    on TPU (same reasoning as ops._gather_spmm: at low arithmetic
+    intensity the VPU gather path beats any block/MXU formulation).
+
+Semantics match scipy's ``csr_matrix @ csr_matrix`` pattern: C keeps one
+slot per *structurally* reachable (i, j) (products may cancel to 0.0
+numerically; slots are never dropped, so the pattern — and therefore the
+compiled program — is value-independent).
+
+Autograd: ``spgemm`` is differentiable in both operands' values via
+``jax.custom_vjp`` with pattern-restricted gradients,
+
+  dA[p] = sum over schedule rows with a_pos==p of  dC[c_pos] * B[b_pos]
+  dB[q] = sum over schedule rows with b_pos==q of  dC[c_pos] * A[a_pos]
+
+i.e. exactly SDDMM-style gradients restricted to each operand's own
+pattern (the same upgrade over densified gradients that ops.spmm makes;
+see ops.py module docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse.plan import _fingerprint
+from tpusparse.types import CSR
+
+Shape2 = Tuple[int, int]
+
+_INT = np.int32
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SpGEMMPlan:
+    """Host-built multiplication schedule for one (A pattern, B pattern) pair.
+
+    All index arrays are trace-time constants (host numpy wrapped as
+    device arrays once), mirroring Plan's contract. ``nmul`` is the
+    schedule length = sum over A's nonzeros (i,k) of nnz in B row k.
+    """
+
+    a_pos: jnp.ndarray  # (nmul,) int32 — index into A.data
+    b_pos: jnp.ndarray  # (nmul,) int32 — index into B.data
+    c_pos: jnp.ndarray  # (nmul,) int32 — index into C.data, nondecreasing
+    c_indices: np.ndarray  # (c_nnz,) int32 host — C's CSR column ids
+    c_indptr: np.ndarray  # (m+1,) int32 host — C's CSR row offsets
+    a_shape: Shape2
+    b_shape: Shape2
+
+    @property
+    def nmul(self) -> int:
+        return int(self.a_pos.shape[0])
+
+    @property
+    def c_nnz(self) -> int:
+        return int(self.c_indices.shape[0])
+
+    @property
+    def c_shape(self) -> Shape2:
+        return (self.a_shape[0], self.b_shape[1])
+
+    def tree_flatten(self):
+        return (self.a_pos, self.b_pos, self.c_pos), (
+            self.c_indices,
+            self.c_indptr,
+            self.a_shape,
+            self.b_shape,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        a_pos, b_pos, c_pos = children
+        return cls(a_pos, b_pos, c_pos, aux[0], aux[1], aux[2], aux[3])
+
+    def report(self) -> dict:
+        """Schedule stats (the Plan.report / PRINT-mode analog): work per
+        output nonzero and the compression the sparse product achieves
+        over a densified one."""
+        m, k = self.a_shape
+        n = self.b_shape[1]
+        dense_mults = float(m) * k * n
+        return {
+            "nmul": self.nmul,
+            "c_nnz": self.c_nnz,
+            "mults_per_c_nnz": self.nmul / max(self.c_nnz, 1),
+            "c_density": self.c_nnz / float(m * n),
+            "dense_mult_ratio": dense_mults / max(self.nmul, 1),
+            "schedule_bytes": 3 * 4 * self.nmul,
+        }
+
+
+_PLAN_CACHE: dict = {}
+
+
+def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
+    """Build (or fetch cached) the multiplication schedule for A @ B.
+
+    Host-only: patterns must be concrete (the same contract as
+    plan.build_plan — sparsity patterns are trace-time constants
+    throughout the framework). Cached by the pair of pattern
+    fingerprints, never by object identity.
+    """
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(
+            f"spgemm shape mismatch: {a.shape} @ {b.shape} "
+            f"(need a.shape[1] == b.shape[0])"
+        )
+    try:
+        a_indptr = np.asarray(a.indptr)
+        a_indices = np.asarray(a.indices)
+        b_indptr = np.asarray(b.indptr)
+        b_indices = np.asarray(b.indices)
+    except Exception as e:  # traced pattern
+        raise ValueError(
+            "spgemm needs concrete sparsity patterns (host inspector); "
+            "build the plan outside jit and pass it in"
+        ) from e
+    key = (
+        _fingerprint(a.shape, (1, 1), a_indptr, a_indices),
+        _fingerprint(b.shape, (1, 1), b_indptr, b_indices),
+    )
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    m, _ = a.shape
+    n = b.shape[1]
+    a_nnz = int(a_indices.shape[0])
+    b_deg = np.diff(b_indptr.astype(np.int64))  # nnz per B row
+    per_a = b_deg[a_indices]  # products spawned by each A nonzero
+    nmul = int(per_a.sum())
+    if nmul >= np.iinfo(_INT).max:
+        raise ValueError(
+            f"spgemm schedule has {nmul} products — exceeds int32 indexing"
+        )
+    # a_pos: each A-nonzero repeated by its product count
+    a_pos = np.repeat(np.arange(a_nnz, dtype=np.int64), per_a)
+    # b_pos: for A-nonzero p with column k, the run b_indptr[k] : b_indptr[k+1]
+    first = np.cumsum(per_a) - per_a  # schedule offset of each A-nonzero
+    offs = np.arange(nmul, dtype=np.int64) - np.repeat(first, per_a)
+    b_pos = np.repeat(b_indptr[a_indices].astype(np.int64), per_a) + offs
+    # C coordinates of each product
+    a_rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(a_indptr))
+    flat = a_rows[a_pos] * np.int64(n) + b_indices[b_pos]
+    uniq, inv = np.unique(flat, return_inverse=True)  # sorted == CSR order
+    c_nnz = int(uniq.shape[0])
+    # sort the schedule by destination slot so the device accumulation is
+    # a sorted segment-sum (no scatter sort/hash pass)
+    order = np.argsort(inv, kind="stable")
+    a_pos, b_pos, c_pos = a_pos[order], b_pos[order], inv[order]
+    c_rows = (uniq // n).astype(np.int64)
+    c_indptr = np.zeros(m + 1, dtype=_INT)
+    c_indptr[1:] = np.cumsum(np.bincount(c_rows, minlength=m)).astype(_INT)
+    plan = SpGEMMPlan(
+        a_pos=jnp.asarray(a_pos.astype(_INT)),
+        b_pos=jnp.asarray(b_pos.astype(_INT)),
+        c_pos=jnp.asarray(c_pos.astype(_INT)),
+        c_indices=(uniq % n).astype(_INT),
+        c_indptr=c_indptr,
+        a_shape=a.shape,
+        b_shape=b.shape,
+    )
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+@jax.custom_vjp
+def _spgemm_data(plan: SpGEMMPlan, a_data, b_data):
+    prods = a_data[plan.a_pos] * b_data[plan.b_pos]
+    return jax.ops.segment_sum(
+        prods,
+        plan.c_pos,
+        num_segments=plan.c_nnz,
+        indices_are_sorted=True,
+    )
+
+
+def _spgemm_fwd(plan, a_data, b_data):
+    return _spgemm_data(plan, a_data, b_data), (plan, a_data, b_data)
+
+
+def _spgemm_bwd(res, g):
+    plan, a_data, b_data = res
+    gm = g[plan.c_pos]
+    # scatter-adds: a_pos/b_pos are unsorted after the c_pos sort, so no
+    # sortedness promise (a false one silently misplaces updates on TPU —
+    # see types.CSR.to_dense note)
+    da = (
+        jnp.zeros_like(a_data)
+        .at[plan.a_pos]
+        .add((gm * b_data[plan.b_pos]).astype(a_data.dtype))
+    )
+    db = (
+        jnp.zeros_like(b_data)
+        .at[plan.b_pos]
+        .add((gm * a_data[plan.a_pos]).astype(b_data.dtype))
+    )
+    from tpusparse.ops import _zeros_tangent
+
+    return _zeros_tangent(plan), da, db
+
+
+_spgemm_data.defvjp(_spgemm_fwd, _spgemm_bwd)
+
+
+# Cost-model constants measured on TPU v5e (see benchmarks/RESULTS.md):
+# the gather/segment-sum schedule executes at a fixed ~64M products/s
+# (1-D random gathers underuse the VPU lanes), so beyond a few hundred K
+# products the densify-and-ride-the-MXU route wins — exactly the same
+# regime split ops._route_spmm makes for SpMM.
+_SCHEDULE_MULTS_PER_S = 64e6
+_DENSIFY_PER_NNZ = 9e-9  # same scatter constant as ops._DENSIFY_PER_NNZ
+# XLA's TPU gather executes ~1 index at a time: ~6.7 ns/element measured
+# (flat 1-D form; 2-D fancy indexing is 1.5x worse, sortedness hints are
+# ignored) — the dense route pays this once per C nonzero to extract the
+# structural slots from the dense product
+_GATHER_PER_ELEM = 6.7e-9
+
+
+def _count_products(a: CSR, b: CSR) -> int:
+    """nmul without building the schedule (cheap host pass)."""
+    b_deg = np.diff(np.asarray(b.indptr).astype(np.int64))
+    return int(b_deg[np.asarray(a.indices)].sum())
+
+
+def _route_spgemm(a: CSR, b: CSR) -> str:
+    from tpusparse.ops import _DENSE_FP32_FLOPS
+
+    try:
+        nmul = _count_products(a, b)
+    except Exception:  # traced pattern — only the schedule path can run
+        return "schedule"
+    m, k = a.shape
+    n = b.shape[1]
+    t_sched = nmul / _SCHEDULE_MULTS_PER_S
+    # c_nnz is unknown before the pattern build; nmul upper-bounds it and
+    # is tight exactly where the dense route competes (few collisions)
+    c_nnz_bound = min(nmul, m * n)
+    t_dense = (
+        2.0 * m * k * n / _DENSE_FP32_FLOPS
+        + (a.nnz + b.nnz) * _DENSIFY_PER_NNZ
+        + c_nnz_bound * _GATHER_PER_ELEM
+    )
+    return "schedule" if t_sched <= t_dense else "dense"
+
+
+_PATTERN_CACHE: dict = {}
+
+
+def _c_pattern(a: CSR, b: CSR):
+    """C's CSR pattern only (for the dense route) — scipy boolean product,
+    much cheaper than the full multiplication schedule at high fill."""
+    ai = (np.asarray(a.indptr), np.asarray(a.indices))
+    bi = (np.asarray(b.indptr), np.asarray(b.indices))
+    key = (
+        _fingerprint(a.shape, (1, 1), ai[0], ai[1]),
+        _fingerprint(b.shape, (1, 1), bi[0], bi[1]),
+    )
+    hit = _PATTERN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import scipy.sparse as ssp
+
+    sa = ssp.csr_matrix(
+        (np.ones(ai[1].size, np.int8), ai[1], ai[0]), shape=a.shape
+    )
+    sb = ssp.csr_matrix(
+        (np.ones(bi[1].size, np.int8), bi[1], bi[0]), shape=b.shape
+    )
+    pat = (sa.astype(bool) @ sb.astype(bool)).tocsr()
+    pat.sort_indices()
+    rows = np.repeat(
+        np.arange(a.shape[0], dtype=np.int64), np.diff(pat.indptr)
+    )
+    hit = (
+        pat.indices.astype(_INT),
+        pat.indptr.astype(_INT),
+        rows.astype(_INT),
+    )
+    _PATTERN_CACHE[key] = hit
+    return hit
+
+
+def spgemm(
+    a: CSR, b: CSR, plan: SpGEMMPlan | None = None, method: str = "auto"
+) -> CSR:
+    """Sparse × sparse matmul: returns C = A @ B as CSR.
+
+    methods: 'schedule' (host-planned gather + sorted segment-sum — wins
+    at low fill), 'dense' (densify both operands, one MXU matmul, gather
+    C's structural slots — wins once the product count crosses the MXU's
+    fixed cost, measured crossover ~1% uniform fill), 'auto' (cost model
+    picks; the SpMM-router philosophy applied to SpGEMM). All methods are
+    differentiable in both operands' values and produce the identical
+    structural pattern. Pass ``plan`` (forces 'schedule') when calling
+    under jit with traced values.
+    """
+    if plan is not None:
+        method = "schedule"
+    elif method == "auto":
+        method = _route_spgemm(a, b)
+    if method == "dense":
+        if a.shape[1] != b.shape[0]:
+            raise ValueError(
+                f"spgemm shape mismatch: {a.shape} @ {b.shape} "
+                f"(need a.shape[1] == b.shape[0])"
+            )
+        from tpusparse import dense
+
+        c_indices, c_indptr, c_rows = _c_pattern(a, b)
+        cd = dense.matmul(a.to_dense(), b.to_dense())
+        m, n = a.shape[0], b.shape[1]
+        if m * n < 2**31 - 1:
+            # flat 1-D gather: measured 1.5x faster than 2-D fancy indexing
+            flat = c_rows.astype(np.int64) * n + c_indices.astype(np.int64)
+            c_data = cd.reshape(-1)[jnp.asarray(flat.astype(np.int32))]
+        else:
+            c_data = cd[c_rows, c_indices]
+        return CSR(
+            data=c_data,
+            indices=c_indices,
+            indptr=c_indptr,
+            shape=(m, n),
+        )
+    if method != "schedule":
+        raise ValueError(f"unknown spgemm method {method!r}")
+    plan = plan or spgemm_plan(a, b)
+    if plan.a_shape != a.shape or plan.b_shape != b.shape:
+        raise ValueError(
+            f"plan built for {plan.a_shape} @ {plan.b_shape}, "
+            f"got {a.shape} @ {b.shape}"
+        )
+    c_data = _spgemm_data(plan, a.data, b.data)
+    # pattern arrays stay host numpy (jnp.asarray under jit would make
+    # them traced constants, hiding the pattern from host inspectors)
+    return CSR(
+        data=c_data,
+        indices=plan.c_indices,
+        indptr=plan.c_indptr,
+        shape=plan.c_shape,
+    )
+
+
+def spgemm_reference(a: CSR, b: CSR) -> np.ndarray:
+    """Host fp64 oracle: dense product of the two operands (tests only)."""
+    ad = np.asarray(a.to_dense(), dtype=np.float64)
+    bd = np.asarray(b.to_dense(), dtype=np.float64)
+    return ad @ bd

@@ -219,6 +219,67 @@ class CSR:
             self.data
         )
 
+    # -- operator sugar (thin wrappers over the public op surface) ---------
+    # Lazy imports avoid the types->ops circular dependency; each operator
+    # is the documented op, nothing more. __array_priority__ makes numpy
+    # defer mixed expressions (np_array * csr) to our reflected methods
+    # instead of object-broadcasting.
+
+    __array_priority__ = 1000
+
+    def __matmul__(self, other):
+        from tpusparse import ops
+        from tpusparse.spgemm import spgemm
+
+        if isinstance(other, CSR):
+            return spgemm(self, other)
+        return ops.spmm(self, jnp.asarray(other))
+
+    def __rmatmul__(self, x):
+        from tpusparse import ops
+
+        return ops.dsmm(jnp.asarray(x), self)
+
+    def __add__(self, other):
+        from tpusparse.elementwise import sp_add
+
+        if not isinstance(other, CSR):
+            return NotImplemented
+        return sp_add(self, other)
+
+    def __sub__(self, other):
+        from tpusparse.elementwise import sp_sub
+
+        if not isinstance(other, CSR):
+            return NotImplemented
+        return sp_sub(self, other)
+
+    def _scale_or_raise(self, other):
+        from tpusparse.elementwise import sp_scale
+
+        if jnp.ndim(other) != 0:  # dense broadcasting would silently
+            # densify; be explicit at the API boundary
+            raise TypeError(
+                "CSR * array is not supported (would densify); use "
+                "sp_hadamard for sparse*sparse or scale by a scalar"
+            )
+        return sp_scale(self, other)
+
+    def __mul__(self, other):
+        from tpusparse.elementwise import sp_hadamard
+
+        if isinstance(other, CSR):
+            return sp_hadamard(self, other)
+        return self._scale_or_raise(other)
+
+    def __rmul__(self, other):
+        return self._scale_or_raise(other)
+
+    def __neg__(self):
+        from tpusparse.elementwise import sp_scale
+
+        return sp_scale(self, -1.0)
+
     def transpose(self) -> "CSR":
         """CSR transpose via stable sort on column ids (jittable: nnz static)."""
         rows = self.row_ids()
