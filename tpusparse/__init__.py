@@ -72,6 +72,9 @@ from tpusparse.plan import (
     plan_cache_info,
     clear_plan_cache,
 )
+from tpusparse import interop
+from tpusparse import linalg
+from tpusparse.linalg import speye
 from tpusparse import patch
 from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_params
 
@@ -123,6 +126,9 @@ __all__ = [
     "vstack",
     "hstack",
     "block_diag",
+    "interop",
+    "linalg",
+    "speye",
     "patch",
     "PatchedDense",
     "patch_flax_dense",
