@@ -142,6 +142,102 @@ void ts_coo_to_csr(const int32_t* rows, int64_t nnz, int64_t m,
   for (int64_t e = 0; e < nnz; ++e) order_out[cursor[rows[e]]++] = e;
 }
 
+// SpGEMM symbolic pass (tpusparse/spgemm.py's host inspector, native).
+// Computes C = A @ B's CSR pattern and the flat multiplication schedule
+// (a_pos, b_pos, c_pos) sorted by destination slot c_pos, so the device
+// numeric pass is a sorted segment-sum. Classic SMMP-style epoch-stamped
+// accumulator; two passes so Python owns all allocations.
+//
+// Pass 1: per-row distinct-column count -> c_indptr[m+1]; returns c_nnz
+//         (or -1 if the product count overflows int32 indexing).
+int64_t ts_spgemm_count(const int32_t* a_indptr, int64_t m,
+                        const int32_t* a_indices, const int32_t* b_indptr,
+                        const int32_t* b_indices, int64_t n,
+                        int32_t* c_indptr_out) {
+  std::vector<int32_t> epoch_of(static_cast<size_t>(n), -1);
+  int64_t c_nnz = 0;
+  int64_t nmul = 0;
+  c_indptr_out[0] = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int32_t epoch = static_cast<int32_t>(i);
+    int64_t count = 0;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      nmul += b_indptr[k + 1] - b_indptr[k];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int32_t j = b_indices[q];
+        if (epoch_of[j] != epoch) {
+          epoch_of[j] = epoch;
+          ++count;
+        }
+      }
+    }
+    c_nnz += count;
+    c_indptr_out[i + 1] = static_cast<int32_t>(c_nnz);
+  }
+  if (nmul >= INT32_MAX || c_nnz >= INT32_MAX) return -1;
+  return c_nnz;
+}
+
+// Pass 2: fill c_indices[c_nnz] (sorted within each row) and the schedule
+// arrays a_pos/b_pos/c_pos[nmul], c_pos nondecreasing. A per-row counting
+// sort over the slot histogram places every product without a global sort.
+void ts_spgemm_fill(const int32_t* a_indptr, int64_t m,
+                    const int32_t* a_indices, const int32_t* b_indptr,
+                    const int32_t* b_indices, int64_t n,
+                    const int32_t* c_indptr, int32_t* c_indices_out,
+                    int32_t* a_pos_out, int32_t* b_pos_out,
+                    int32_t* c_pos_out) {
+  std::vector<int32_t> epoch_of(static_cast<size_t>(n), -1);
+  std::vector<int32_t> slot_of(static_cast<size_t>(n), 0);
+  std::vector<int32_t> prod_count(static_cast<size_t>(n), 0);
+  std::vector<int32_t> distinct;
+  std::vector<int64_t> cursor;
+  int64_t sched_base = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int32_t epoch = static_cast<int32_t>(i);
+    distinct.clear();
+    // discover distinct output columns + products per column
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int32_t j = b_indices[q];
+        if (epoch_of[j] != epoch) {
+          epoch_of[j] = epoch;
+          prod_count[j] = 1;
+          distinct.push_back(j);
+        } else {
+          ++prod_count[j];
+        }
+      }
+    }
+    std::sort(distinct.begin(), distinct.end());
+    const int64_t c_base = c_indptr[i];
+    const int64_t row_nnz = static_cast<int64_t>(distinct.size());
+    cursor.assign(static_cast<size_t>(row_nnz), 0);
+    int64_t off = 0;
+    for (int64_t t = 0; t < row_nnz; ++t) {
+      const int32_t j = distinct[t];
+      c_indices_out[c_base + t] = j;
+      slot_of[j] = static_cast<int32_t>(t);
+      cursor[t] = sched_base + off;
+      off += prod_count[j];
+    }
+    // place each product at its slot-run cursor -> c_pos sorted
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int32_t t = slot_of[b_indices[q]];
+        const int64_t pos = cursor[t]++;
+        a_pos_out[pos] = p;
+        b_pos_out[pos] = q;
+        c_pos_out[pos] = static_cast<int32_t>(c_base + t);
+      }
+    }
+    sched_base += off;
+  }
+}
+
 int ts_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

@@ -373,3 +373,83 @@ def test_sp_norm():
     )
     with pytest.raises(ValueError, match="unsupported norm"):
         sp_norm(a, 2)
+
+
+# ---------------------------------------------------------------------------
+# row_softmax — sparse-attention normalization
+# ---------------------------------------------------------------------------
+
+
+def _masked_softmax_dense(a):
+    """fp64 oracle: softmax over stored entries, absent entries = -inf."""
+    d = np.asarray(a.to_dense(), np.float64)
+    mask = np.asarray(a.to_scipy().astype(bool).todense())
+    e = np.where(mask, d, -np.inf)
+    emax = e.max(axis=1, keepdims=True)
+    emax = np.where(np.isfinite(emax), emax, 0.0)
+    p = np.where(mask, np.exp(e - emax), 0.0)
+    s = p.sum(axis=1, keepdims=True)
+    return np.divide(p, s, out=np.zeros_like(p), where=s > 0)
+
+
+def test_row_softmax_matches_dense_masked():
+    from tpusparse import row_softmax
+
+    a = random_csr(7, (24, 32), 0.2)
+    out = row_softmax(a)
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense(), np.float64),
+        _masked_softmax_dense(a),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    # rows with entries sum to exactly 1
+    sums = np.asarray(row_reduce(out, "sum"))
+    nnz_rows = np.asarray(row_reduce(out, "nnz")) > 0
+    np.testing.assert_allclose(sums[nnz_rows], 1.0, rtol=1e-6)
+
+
+def test_row_softmax_empty_rows_and_stability():
+    from tpusparse import row_softmax
+
+    dense = np.zeros((4, 4), np.float32)
+    dense[0, 1] = 1e4  # would overflow exp without the max shift
+    dense[0, 2] = 1e4 - 1.0
+    dense[2, 0] = -3.0
+    a = CSR.from_dense(jnp.asarray(dense))
+    out = row_softmax(a)
+    od = np.asarray(out.to_dense(), np.float64)
+    assert np.isfinite(od).all()
+    np.testing.assert_allclose(od[0, 1] + od[0, 2], 1.0, rtol=1e-6)
+    assert od[0, 1] > od[0, 2]
+    np.testing.assert_allclose(od[2, 0], 1.0, rtol=1e-6)  # singleton row
+    np.testing.assert_allclose(od[1], 0.0)  # empty rows stay empty
+    np.testing.assert_allclose(od[3], 0.0)
+
+
+def test_row_softmax_temperature_and_grad():
+    from tpusparse import row_softmax
+
+    a = random_csr(8, (12, 16), 0.3)
+    hot = np.asarray(row_softmax(a, temperature=0.1).to_dense())
+    cold = np.asarray(row_softmax(a, temperature=10.0).to_dense())
+    # lower temperature concentrates mass
+    assert hot.max() >= cold.max()
+
+    def f(data):
+        return (row_softmax(CSR(data, a.indices, a.indptr, a.shape)).data ** 2).sum()
+
+    check_grads(f, (a.data,), **GRAD_KW)
+
+
+def test_row_softmax_under_jit():
+    from tpusparse import row_softmax
+
+    a = random_csr(9, (16, 16), 0.25)
+    eager = row_softmax(a).data
+
+    @jax.jit
+    def f(data):
+        return row_softmax(CSR(data, a.indices, a.indptr, a.shape)).data
+
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(f(a.data)), rtol=1e-6)

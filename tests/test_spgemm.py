@@ -265,3 +265,27 @@ def test_spgemm_report():
     assert rep["nmul"] > 0 and rep["c_nnz"] > 0
     assert rep["dense_mult_ratio"] > 1.0
     assert rep["mults_per_c_nnz"] >= 1.0
+
+
+def test_spgemm_plan_native_matches_numpy(monkeypatch):
+    """The C++ symbolic pass and the numpy fallback must produce the
+    IDENTICAL plan (pattern and schedule, including within-slot product
+    order — both traverse a_pos-major)."""
+    from tpusparse.spgemm import _PLAN_CACHE
+    from tpusparse.runtime import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    a = random_csr(30, (128, 96), 0.08)
+    b = random_csr(31, (96, 80), 0.08)
+    _PLAN_CACHE.clear()
+    p_nat = spgemm_plan(a, b)
+    _PLAN_CACHE.clear()
+    monkeypatch.setattr(native, "available", lambda: False)
+    p_np = spgemm_plan(a, b)
+    _PLAN_CACHE.clear()
+    np.testing.assert_array_equal(p_nat.c_indptr, p_np.c_indptr)
+    np.testing.assert_array_equal(p_nat.c_indices, p_np.c_indices)
+    np.testing.assert_array_equal(np.asarray(p_nat.a_pos), np.asarray(p_np.a_pos))
+    np.testing.assert_array_equal(np.asarray(p_nat.b_pos), np.asarray(p_np.b_pos))
+    np.testing.assert_array_equal(np.asarray(p_nat.c_pos), np.asarray(p_np.c_pos))

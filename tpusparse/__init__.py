@@ -58,6 +58,7 @@ from tpusparse.elementwise import (
     sp_map,
     prune_csr,
     row_reduce,
+    row_softmax,
     col_reduce,
     sp_norm,
     vstack,
@@ -121,6 +122,7 @@ __all__ = [
     "sp_map",
     "prune_csr",
     "row_reduce",
+    "row_softmax",
     "col_reduce",
     "sp_norm",
     "vstack",

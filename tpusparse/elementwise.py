@@ -330,6 +330,30 @@ def row_reduce(a: CSR, reduce: str = "sum") -> jnp.ndarray:
     raise ValueError(f"unknown reduce mode {reduce!r}")
 
 
+def row_softmax(a: CSR, temperature: float = 1.0) -> CSR:
+    """Numerically-stable softmax over each row's STORED values (same
+    pattern out) — the sparse-attention normalization: treat absent
+    entries as -inf, so each stored row sums to 1.
+
+    Differentiable in `a.data`; empty rows stay empty (no NaN — their
+    segment slots are never gathered). Sorted-segment hints ride CSR's
+    row-major invariant.
+    """
+    import jax
+
+    rows = a.row_ids()
+    m = a.shape[0]
+    e = a.data / temperature
+    mx = jax.ops.segment_max(
+        e, rows, num_segments=m, indices_are_sorted=True
+    )
+    p = jnp.exp(e - mx[rows])
+    s = jax.ops.segment_sum(
+        p, rows, num_segments=m, indices_are_sorted=True
+    )
+    return CSR(data=p / s[rows], indices=a.indices, indptr=a.indptr, shape=a.shape)
+
+
 def col_reduce(a: CSR, reduce: str = "sum") -> jnp.ndarray:
     """Per-column reduction over stored values -> (n,)."""
     from tpusparse.ops import transpose_csr

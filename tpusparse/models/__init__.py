@@ -1,4 +1,26 @@
 from tpusparse.models.mlp import MnistNet, train_step, make_train_state
 from tpusparse.models.bert import BertAttentionLayer, BertEncoder
+from tpusparse.models.gcn import (
+    GCN,
+    GCNLayer,
+    normalized_adjacency,
+    random_graph,
+    two_cluster_graph,
+)
+from tpusparse.models.gat import GAT, GATLayer, add_self_loops
 
-__all__ = ["MnistNet", "train_step", "make_train_state", "BertAttentionLayer", "BertEncoder"]
+__all__ = [
+    "MnistNet",
+    "train_step",
+    "make_train_state",
+    "BertAttentionLayer",
+    "BertEncoder",
+    "GCN",
+    "GCNLayer",
+    "normalized_adjacency",
+    "random_graph",
+    "two_cluster_graph",
+    "GAT",
+    "GATLayer",
+    "add_self_loops",
+]

@@ -98,6 +98,30 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p,
             i64p,
         ]
+        lib.ts_spgemm_count.restype = ctypes.c_int64
+        lib.ts_spgemm_count.argtypes = [
+            i32p,
+            ctypes.c_int64,
+            i32p,
+            i32p,
+            i32p,
+            ctypes.c_int64,
+            i32p,
+        ]
+        lib.ts_spgemm_fill.restype = None
+        lib.ts_spgemm_fill.argtypes = [
+            i32p,
+            ctypes.c_int64,
+            i32p,
+            i32p,
+            i32p,
+            ctypes.c_int64,
+            i32p,
+            i32p,
+            i32p,
+            i32p,
+            i32p,
+        ]
         lib.ts_num_threads.restype = ctypes.c_int
         lib.ts_num_threads.argtypes = []
         _lib = lib
@@ -142,6 +166,56 @@ def inspect(
         scatter_idx = scatter_idx.astype(np.int32)
     nblocks = int(nslots.sum())
     return block_cols, nslots, scatter_idx, ell_width, nblocks
+
+
+def spgemm_symbolic(
+    a_indptr: np.ndarray,
+    a_indices: np.ndarray,
+    b_indptr: np.ndarray,
+    b_indices: np.ndarray,
+    m: int,
+    n: int,
+):
+    """Native SpGEMM symbolic pass: C's CSR pattern + the multiplication
+    schedule (a_pos, b_pos, c_pos) sorted by c_pos.
+
+    Returns (c_indptr, c_indices, a_pos, b_pos, c_pos), all int32, or
+    None if the schedule would overflow int32 indexing (caller raises).
+    """
+    lib = _load()
+    assert lib is not None
+    a_indptr = np.ascontiguousarray(a_indptr, dtype=np.int32)
+    a_indices = np.ascontiguousarray(a_indices, dtype=np.int32)
+    b_indptr = np.ascontiguousarray(b_indptr, dtype=np.int32)
+    b_indices = np.ascontiguousarray(b_indices, dtype=np.int32)
+    c_indptr = np.zeros((m + 1,), dtype=np.int32)
+    c_nnz = int(
+        lib.ts_spgemm_count(
+            a_indptr, m, a_indices, b_indptr, b_indices, n, c_indptr
+        )
+    )
+    if c_nnz < 0:
+        return None
+    b_deg = np.diff(b_indptr.astype(np.int64))
+    nmul = int(b_deg[a_indices].sum())
+    c_indices = np.zeros((c_nnz,), dtype=np.int32)
+    a_pos = np.zeros((nmul,), dtype=np.int32)
+    b_pos = np.zeros((nmul,), dtype=np.int32)
+    c_pos = np.zeros((nmul,), dtype=np.int32)
+    lib.ts_spgemm_fill(
+        a_indptr,
+        m,
+        a_indices,
+        b_indptr,
+        b_indices,
+        n,
+        c_indptr,
+        c_indices,
+        a_pos,
+        b_pos,
+        c_pos,
+    )
+    return c_indptr, c_indices, a_pos, b_pos, c_pos
 
 
 def coo_to_csr(rows: np.ndarray, m: int):

@@ -147,6 +147,31 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
 
     m, _ = a.shape
     n = b.shape[1]
+
+    from tpusparse.runtime import native
+
+    if native.available():
+        res = native.spgemm_symbolic(
+            a_indptr, a_indices, b_indptr, b_indices, m, n
+        )
+        if res is None:
+            raise ValueError(
+                "spgemm schedule exceeds int32 indexing "
+                f"(shapes {a.shape} @ {b.shape})"
+            )
+        c_indptr, c_indices, a_pos, b_pos, c_pos = res
+        plan = SpGEMMPlan(
+            a_pos=jnp.asarray(a_pos),
+            b_pos=jnp.asarray(b_pos),
+            c_pos=jnp.asarray(c_pos),
+            c_indices=c_indices,
+            c_indptr=c_indptr,
+            a_shape=a.shape,
+            b_shape=b.shape,
+        )
+        _PLAN_CACHE[key] = plan
+        return plan
+
     a_nnz = int(a_indices.shape[0])
     b_deg = np.diff(b_indptr.astype(np.int64))  # nnz per B row
     per_a = b_deg[a_indices]  # products spawned by each A nonzero
