@@ -20,6 +20,7 @@
 // Exposed via ctypes (tpusparse/runtime/native.py); no pybind11 needed.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <vector>
 
@@ -236,6 +237,78 @@ void ts_spgemm_fill(const int32_t* a_indptr, int64_t m,
     }
     sched_base += off;
   }
+}
+
+// ILU(0) in-place value pass (tpusparse/linalg.py's factorization,
+// native). Saad's IKJ variant on a CSR with SORTED indices and a present
+// diagonal: row i's strict-lower entries become L (unit diagonal
+// implicit), the rest becomes U. Values in fp64 for pivot accuracy.
+// Epoch-stamped column->position map gives O(1) pattern lookups.
+// Returns 0 on success, -(i+1) on a missing-diagonal or zero-pivot row i.
+int64_t ts_ilu0(const int32_t* indptr, const int32_t* indices, int64_t n,
+                double* v) {
+  std::vector<int64_t> pos_of(static_cast<size_t>(n), -1);
+  std::vector<int64_t> epoch(static_cast<size_t>(n), -1);
+  std::vector<int64_t> diag(static_cast<size_t>(n), -1);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      pos_of[indices[p]] = p;
+      epoch[indices[p]] = i;
+    }
+    if (epoch[i] != i) return -(i + 1);  // missing diagonal
+    diag[i] = pos_of[i];
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t k = indices[p];
+      if (k >= i) break;  // sorted: strict-lower prefix done
+      const double pivot = v[diag[k]];
+      if (pivot == 0.0) return -(k + 1);
+      const double lik = v[p] / pivot;
+      v[p] = lik;
+      for (int64_t q = diag[k] + 1; q < indptr[k + 1]; ++q) {
+        const int32_t j = indices[q];
+        if (epoch[j] == i) v[pos_of[j]] -= lik * v[q];
+      }
+    }
+  }
+  return 0;
+}
+
+// IC(0) value pass: incomplete Cholesky on the LOWER-triangular pattern
+// (indices sorted, diagonal last in each row). v holds tril(A) values in,
+// L values out (L L^T ~= A on the pattern). Returns 0 on success,
+// -(i+1) if row i's pivot is not positive (matrix not SPD enough for
+// zero-fill IC).
+int64_t ts_ic0(const int32_t* indptr, const int32_t* indices, int64_t n,
+               double* v) {
+  std::vector<int64_t> pos_of(static_cast<size_t>(n), -1);
+  std::vector<int64_t> epoch(static_cast<size_t>(n), -1);
+  std::vector<int64_t> diag(static_cast<size_t>(n), -1);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      pos_of[indices[p]] = p;
+      epoch[indices[p]] = i;
+    }
+    if (epoch[i] != i) return -(i + 1);  // missing diagonal
+    double dsum = 0.0;
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t j = indices[p];
+      if (j >= i) break;
+      // l_ij = (a_ij - sum_{k<j} l_ik l_jk) / l_jj over the shared pattern
+      double s = 0.0;
+      for (int64_t q = indptr[j]; q < diag[j]; ++q) {
+        const int32_t k = indices[q];
+        if (epoch[k] == i) s += v[pos_of[k]] * v[q];
+      }
+      const double lij = (v[p] - s) / v[diag[j]];
+      v[p] = lij;
+      dsum += lij * lij;
+    }
+    diag[i] = pos_of[i];
+    const double d = v[diag[i]] - dsum;
+    if (d <= 0.0) return -(i + 1);
+    v[diag[i]] = std::sqrt(d);
+  }
+  return 0;
 }
 
 int ts_num_threads() {

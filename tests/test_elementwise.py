@@ -453,3 +453,52 @@ def test_row_softmax_under_jit():
         return row_softmax(CSR(data, a.indices, a.indptr, a.shape)).data
 
     np.testing.assert_allclose(np.asarray(eager), np.asarray(f(a.data)), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# permute_csr — P A Qᵀ pattern pass
+# ---------------------------------------------------------------------------
+
+
+def test_permute_csr_matches_dense(rng):
+    from tpusparse import permute_csr
+
+    a = random_csr(20, (24, 30), 0.2)
+    p = rng.permutation(24)
+    q = rng.permutation(30)
+    out = permute_csr(a, p, q)
+    d = np.asarray(a.to_dense())
+    np.testing.assert_array_equal(np.asarray(out.to_dense()), d[p][:, q])
+    # rows only / cols only
+    np.testing.assert_array_equal(
+        np.asarray(permute_csr(a, row_perm=p).to_dense()), d[p]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(permute_csr(a, col_perm=q).to_dense()), d[:, q]
+    )
+    # sorted indices preserved
+    rows = out.row_ids()
+    flat = np.asarray(rows) * 30 + np.asarray(out.indices)
+    assert (np.diff(flat) > 0).all()
+
+
+def test_permute_csr_differentiable(rng):
+    from tpusparse import permute_csr
+
+    a = random_csr(21, (12, 12), 0.3)
+    p = rng.permutation(12)
+
+    def f(data):
+        return (permute_csr(CSR(data, a.indices, a.indptr, a.shape), p, p).data ** 2).sum()
+
+    check_grads(f, (a.data,), **GRAD_KW)
+
+
+def test_permute_csr_rejects_non_permutation():
+    from tpusparse import permute_csr
+
+    a = random_csr(22, (8, 8), 0.3)
+    with pytest.raises(ValueError, match="row_perm"):
+        permute_csr(a, np.zeros(8, np.int64))
+    with pytest.raises(ValueError, match="col_perm"):
+        permute_csr(a, None, np.array([0] * 8))

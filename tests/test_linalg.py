@@ -142,3 +142,188 @@ def test_matvec_shape_guard():
     a = random_csr(11, (8, 12), 0.3)
     with pytest.raises(ValueError, match="square"):
         linalg.as_matvec(a)
+
+
+# ---------------------------------------------------------------------------
+# upper triangular solve, ILU(0)/IC(0) preconditioning
+# ---------------------------------------------------------------------------
+
+
+def test_upper_triangular_solve(rng):
+    n = 48
+    dense = np.triu(rng.random((n, n), dtype=np.float32))
+    dense[dense < 0.7] = 0.0
+    np.fill_diagonal(dense, rng.random(n, dtype=np.float32) + 1.0)
+    a = CSR.from_dense(jnp.asarray(dense))
+    b = rng.random((n,), dtype=np.float32)
+    x = linalg.spsolve_upper_triangular(a, jnp.asarray(b))
+    ref = sla.spsolve_triangular(
+        ssp.csr_matrix(dense.astype(np.float64)), b.astype(np.float64), lower=False
+    )
+    np.testing.assert_allclose(np.asarray(x, np.float64), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_upper_triangular_rejects_lower_entries():
+    a = random_csr(12, (16, 16), 0.3)
+    with pytest.raises(ValueError, match="below the diagonal"):
+        linalg.spsolve_upper_triangular(a, jnp.ones(16))
+
+
+def _ilu0_dense_reference(dense):
+    """fp64 dense ILU(0): Gaussian elimination with updates restricted to
+    the original pattern."""
+    a = dense.astype(np.float64).copy()
+    pattern = dense != 0
+    n = a.shape[0]
+    for i in range(1, n):
+        for k in range(i):
+            if not pattern[i, k]:
+                continue
+            a[i, k] /= a[k, k]
+            for j in range(k + 1, n):
+                if pattern[i, j]:
+                    a[i, j] -= a[i, k] * a[k, j]
+    return a
+
+
+def _with_diagonal(seed, n=40, density=0.12):
+    a = random_csr(seed, (n, n), density)
+    return sp_add(a, linalg.speye(n), 1.0, 2.0 + n * density)
+
+
+def test_ilu0_matches_dense_reference():
+    n = 40
+    a = _with_diagonal(13, n)
+    L, U = linalg.ilu0(a)
+    combined = _ilu0_dense_reference(np.asarray(a.to_dense(), np.float64))
+    got = (
+        np.asarray(L.to_dense(), np.float64)
+        + np.asarray(U.to_dense(), np.float64)
+    )
+    mask = np.asarray(a.to_scipy().astype(bool).todense())
+    np.testing.assert_allclose(got[mask], combined[mask], rtol=1e-5, atol=1e-6)
+    # L strict lower, U upper with full diagonal
+    assert np.all(np.triu(np.asarray(L.to_dense())) == 0)
+    assert np.all(np.tril(np.asarray(U.to_dense()), -1) == 0)
+    assert np.all(np.diag(np.asarray(U.to_dense())) != 0)
+
+
+def test_ilu0_numpy_fallback_matches_native(monkeypatch):
+    from tpusparse.runtime import native
+
+    a = _with_diagonal(14, 32)
+    if not native.available():
+        pytest.skip("no native toolchain")
+    L1, U1 = linalg.ilu0(a)
+    monkeypatch.setattr(native, "available", lambda: False)
+    L2, U2 = linalg.ilu0(a)
+    np.testing.assert_array_equal(np.asarray(L1.data), np.asarray(L2.data))
+    np.testing.assert_array_equal(np.asarray(U1.data), np.asarray(U2.data))
+
+
+def test_ilu0_missing_diagonal_raises():
+    dense = np.zeros((3, 3), np.float32)
+    dense[0, 0] = dense[2, 2] = 1.0
+    dense[1, 0] = 1.0  # row 1 has no diagonal entry
+    a = CSR.from_dense(jnp.asarray(dense))
+    with pytest.raises(ValueError, match="row 1"):
+        linalg.ilu0(a)
+
+
+def test_ic0_matches_dense_cholesky_on_full_pattern(rng):
+    # on a DENSE SPD matrix IC(0) == exact Cholesky
+    n = 12
+    m = rng.random((n, n), dtype=np.float32) - 0.5
+    spd = m @ m.T + n * np.eye(n, dtype=np.float32)
+    L = linalg.ic0(CSR.from_dense(jnp.asarray(spd)))
+    ref = np.linalg.cholesky(spd.astype(np.float64))
+    np.testing.assert_allclose(
+        np.asarray(L.to_dense(), np.float64), ref, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_ic0_llt_matches_on_pattern():
+    a = _spd(15, n=64, density=0.06)
+    L = linalg.ic0(a)
+    ld = np.asarray(L.to_dense(), np.float64)
+    llt = ld @ ld.T
+    ad = np.asarray(a.to_dense(), np.float64)
+    mask = np.asarray(a.to_scipy().astype(bool).todense()) & (
+        np.abs(np.tril(ad)) > 0
+    )
+    np.testing.assert_allclose(llt[mask], ad[mask], rtol=1e-5, atol=1e-6)
+
+
+def test_ic0_rejects_indefinite():
+    dense = np.array([[1.0, 2.0], [2.0, 1.0]], np.float32)  # indefinite
+    with pytest.raises(ValueError, match="positive"):
+        linalg.ic0(CSR.from_dense(jnp.asarray(dense)))
+
+
+def _iters_to_converge(errs):
+    return len(errs)
+
+
+def test_ilu_preconditioner_accelerates_gmres(rng):
+    a = _with_diagonal(16, 96, 0.08)
+    b = jnp.asarray(rng.random((96,), dtype=np.float32))
+    M = linalg.ilu_preconditioner(a)
+    x, _ = linalg.gmres(a, b, M=M, tol=1e-6, maxiter=200)
+    ref = sla.spsolve(_to_scipy64(a).tocsc(), np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x, np.float64), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_ic_preconditioner_accelerates_cg(rng):
+    a = _spd(17, n=96, density=0.05)
+    b = jnp.asarray(rng.random((96,), dtype=np.float32))
+    M = linalg.ic_preconditioner(a)
+    x, _ = linalg.cg(a, b, M=M, tol=1e-6, maxiter=300)
+    ref = sla.spsolve(_to_scipy64(a).tocsc(), np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x, np.float64), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_preconditioned_cg_under_jit(rng):
+    a = _spd(18, n=48, density=0.08)
+    M = linalg.ic_preconditioner(a)
+    b = jnp.asarray(rng.random((48,), dtype=np.float32))
+
+    @jax.jit
+    def solve(bv):
+        x, _ = linalg.cg(a, bv, M=M, tol=1e-6, maxiter=200)
+        return x
+
+    ref = sla.spsolve(_to_scipy64(a).tocsc(), np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(solve(b), np.float64), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_rcm_reduces_bandwidth():
+    # a banded matrix hidden by a random symmetric permutation: RCM must
+    # recover (nearly) the banded ordering
+    rng = np.random.default_rng(5)
+    n = 128
+    dense = np.zeros((n, n), np.float32)
+    for off in range(-3, 4):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        dense[idx, idx + off] = rng.random(idx.size) + 0.1
+    hide = rng.permutation(n)
+    from tpusparse import permute_csr
+
+    a = permute_csr(CSR.from_dense(jnp.asarray(dense)), hide, hide)
+    assert linalg.bandwidth(a) > 20
+    perm = linalg.rcm_permutation(a)
+    a_rcm = permute_csr(a, perm, perm)
+    assert linalg.bandwidth(a_rcm) <= 8
+    # permutation preserves the spectrum-driven solves: solve then unpermute
+    b = rng.random(n).astype(np.float32)
+    spd = sp_add(a, transpose_csr(a), 1.0, 1.0)
+    spd = sp_add(spd, linalg.speye(n), 1.0, 10.0)
+    spd_rcm = permute_csr(spd, perm, perm)
+    x_rcm, _ = linalg.cg(spd_rcm, jnp.asarray(b[perm]), tol=1e-6, maxiter=400)
+    x = np.empty(n, np.float64)
+    x[perm] = np.asarray(x_rcm, np.float64)
+    ref = sla.spsolve(_to_scipy64(spd).tocsc(), b.astype(np.float64))
+    np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_bandwidth_trivia():
+    assert linalg.bandwidth(linalg.speye(5)) == 0

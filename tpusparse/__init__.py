@@ -56,6 +56,7 @@ from tpusparse.elementwise import (
     sp_hadamard,
     sp_scale,
     sp_map,
+    permute_csr,
     prune_csr,
     row_reduce,
     row_softmax,
@@ -120,6 +121,7 @@ __all__ = [
     "sp_hadamard",
     "sp_scale",
     "sp_map",
+    "permute_csr",
     "prune_csr",
     "row_reduce",
     "row_softmax",

@@ -372,3 +372,49 @@ def sp_norm(a: CSR, ord: str = "fro") -> jnp.ndarray:
     if ord in ("inf", np.inf):
         return jnp.max(row_reduce(absd, "sum"))
     raise ValueError(f"unsupported norm ord {ord!r}")
+
+
+def permute_csr(a: CSR, row_perm=None, col_perm=None) -> CSR:
+    """Symmetric-or-not permutation P·A·Qᵀ as a pattern pass.
+
+    `row_perm[i]` is the OLD index of NEW row i (scipy's permutation
+    convention: the result equals `dense[row_perm][:, col_perm]`). The
+    pattern work is host-side (trace-time constant, like every plan);
+    values ride one differentiable device gather, so the result works
+    under jit/grad with traced data.
+    """
+    indptr, indices = _host_pattern(a, "permute_csr")
+    m, n = a.shape
+    counts = np.diff(indptr)
+    if row_perm is None:
+        row_perm = np.arange(m, dtype=np.int64)
+    row_perm = np.asarray(row_perm, np.int64)
+    if row_perm.shape != (m,) or np.bincount(row_perm, minlength=m).max() != 1:
+        raise ValueError(f"row_perm must be a permutation of range({m})")
+    new_counts = counts[row_perm]
+    new_indptr = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int32)
+    nnz = int(indptr[-1])
+    # gather each new row's old entry positions without a python loop
+    order = (
+        np.repeat(indptr[row_perm].astype(np.int64), new_counts)
+        + np.arange(nnz, dtype=np.int64)
+        - np.repeat(new_indptr[:-1].astype(np.int64), new_counts)
+    )
+    new_cols = indices[order].astype(np.int64)
+    if col_perm is not None:
+        col_perm = np.asarray(col_perm, np.int64)
+        if col_perm.shape != (n,) or np.bincount(col_perm, minlength=n).max() != 1:
+            raise ValueError(f"col_perm must be a permutation of range({n})")
+        inv = np.empty(n, np.int64)
+        inv[col_perm] = np.arange(n, dtype=np.int64)
+        new_cols = inv[new_cols]
+    # restore sorted columns within each (new) row
+    new_rows = np.repeat(np.arange(m, dtype=np.int64), new_counts)
+    resort = np.lexsort((new_cols, new_rows))
+    order = order[resort]
+    return CSR(
+        data=a.data[jnp.asarray(order.astype(np.int32))],
+        indices=new_cols[resort].astype(np.int32),
+        indptr=new_indptr,
+        shape=a.shape,
+    )

@@ -315,3 +315,257 @@ def spsolve_lower_triangular(
     )
     x, _ = jax.lax.scan(body, x0, xs)
     return x
+
+
+def _reversed_pattern(a: CSR):
+    """Host pattern work for the reversal trick: with J the index-reversal
+    permutation, J·A·J of an UPPER-triangular A is lower-triangular.
+    Returns (indptr, indices, perm) of J·A·J with sorted indices; values
+    follow by the differentiable device gather a.data[perm]."""
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices)
+    n, m = a.shape
+    counts = np.diff(indptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    new_rows = n - 1 - rows
+    new_cols = m - 1 - indices.astype(np.int64)
+    perm = np.lexsort((new_cols, new_rows))
+    new_indptr = np.concatenate(
+        [[0], np.cumsum(counts[::-1])]
+    ).astype(_INT)
+    return new_indptr, new_cols[perm].astype(_INT), perm
+
+
+def spsolve_upper_triangular(
+    a: CSR, b: jnp.ndarray, *, unit_diagonal: bool = False
+) -> jnp.ndarray:
+    """Exact backward substitution for UPPER-triangular CSR A.
+
+    Expressed as the reversal-conjugated lower solve (one extra host
+    pattern pass + a device value gather) so both directions share the
+    single `lax.scan` substitution kernel."""
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"triangular solve needs square A, got {a.shape}")
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices)
+    rows = np.repeat(np.arange(a.shape[0], dtype=np.int64), np.diff(indptr))
+    if (indices < rows).any():
+        raise ValueError("matrix has entries below the diagonal")
+    new_indptr, new_indices, perm = _reversed_pattern(a)
+    a_rev = CSR(
+        data=a.data[jnp.asarray(perm.astype(_INT))],
+        indices=new_indices,
+        indptr=new_indptr,
+        shape=a.shape,
+    )
+    xr = spsolve_lower_triangular(
+        a_rev, b[::-1], unit_diagonal=unit_diagonal
+    )
+    return xr[::-1]
+
+
+def _ilu0_numpy(indptr, indices, v) -> int:
+    """Pure-python fallback of the native ILU(0) value pass (same
+    algorithm and return contract as csrc ts_ilu0)."""
+    n = indptr.shape[0] - 1
+    pos_of = np.full(n, -1, np.int64)
+    epoch = np.full(n, -1, np.int64)
+    diag = np.full(n, -1, np.int64)
+    for i in range(n):
+        for p in range(indptr[i], indptr[i + 1]):
+            pos_of[indices[p]] = p
+            epoch[indices[p]] = i
+        if epoch[i] != i:
+            return -(i + 1)
+        diag[i] = pos_of[i]
+        for p in range(indptr[i], indptr[i + 1]):
+            k = indices[p]
+            if k >= i:
+                break
+            pivot = v[diag[k]]
+            if pivot == 0.0:
+                return -(k + 1)
+            lik = v[p] / pivot
+            v[p] = lik
+            for q in range(diag[k] + 1, indptr[k + 1]):
+                j = indices[q]
+                if epoch[j] == i:
+                    v[pos_of[j]] -= lik * v[q]
+    return 0
+
+
+def _ic0_numpy(indptr, indices, v) -> int:
+    """Pure-python fallback of the native IC(0) value pass (ts_ic0)."""
+    n = indptr.shape[0] - 1
+    pos_of = np.full(n, -1, np.int64)
+    epoch = np.full(n, -1, np.int64)
+    diag = np.full(n, -1, np.int64)
+    for i in range(n):
+        for p in range(indptr[i], indptr[i + 1]):
+            pos_of[indices[p]] = p
+            epoch[indices[p]] = i
+        if epoch[i] != i:
+            return -(i + 1)
+        dsum = 0.0
+        for p in range(indptr[i], indptr[i + 1]):
+            j = indices[p]
+            if j >= i:
+                break
+            s = 0.0
+            for q in range(indptr[j], diag[j]):
+                k = indices[q]
+                if epoch[k] == i:
+                    s += v[pos_of[k]] * v[q]
+            lij = (v[p] - s) / v[diag[j]]
+            v[p] = lij
+            dsum += lij * lij
+        diag[i] = pos_of[i]
+        d = v[diag[i]] - dsum
+        if d <= 0.0:
+            return -(i + 1)
+        v[diag[i]] = np.sqrt(d)
+    return 0
+
+
+def _factorize(kind: str, indptr, indices, v64) -> int:
+    from tpusparse.runtime import native
+
+    if native.available():
+        return native.factorize_inplace(kind, indptr, indices, v64)
+    return (_ilu0_numpy if kind == "ilu0" else _ic0_numpy)(indptr, indices, v64)
+
+
+def _split_rows(indptr, indices, mask):
+    """CSR pattern restricted to masked entries -> (indptr, positions)."""
+    n = indptr.shape[0] - 1
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    keep = np.flatnonzero(mask)
+    counts = np.bincount(rows[keep], minlength=n)
+    sub_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(_INT)
+    return sub_indptr, keep
+
+
+def ilu0(a: Operator) -> tuple:
+    """Zero-fill incomplete LU factorization, A ≈ L·U on A's pattern.
+
+    Host-side setup (like plan building: requires concrete values; fp64
+    value pass via the native runtime when available, csrc ts_ilu0).
+    Needs sorted indices and a structurally present diagonal. Returns
+    (L, U): L strict-lower CSR with an IMPLIED unit diagonal (solve with
+    `unit_diagonal=True`), U upper CSR including the diagonal.
+    """
+    a = _as_csr(a)
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"ilu0 needs square A, got {a.shape}")
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices)
+    v = np.array(np.asarray(a.data), np.float64)
+    status = _factorize("ilu0", indptr, indices, v)
+    if status != 0:
+        raise ValueError(
+            f"ilu0 breakdown at row {-status - 1}: missing diagonal or "
+            "zero pivot"
+        )
+    n = a.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    lower = indices < rows
+    l_indptr, l_pos = _split_rows(indptr, indices, lower)
+    u_indptr, u_pos = _split_rows(indptr, indices, ~lower)
+    dt = a.dtype
+    L = CSR(
+        data=jnp.asarray(v[l_pos].astype(dt)),
+        indices=indices[l_pos].astype(_INT),
+        indptr=l_indptr,
+        shape=a.shape,
+    )
+    U = CSR(
+        data=jnp.asarray(v[u_pos].astype(dt)),
+        indices=indices[u_pos].astype(_INT),
+        indptr=u_indptr,
+        shape=a.shape,
+    )
+    return L, U
+
+
+def ic0(a: Operator) -> CSR:
+    """Zero-fill incomplete Cholesky of an SPD matrix: L·Lᵀ ≈ A on
+    tril(A)'s pattern. Host-side setup like `ilu0`; raises on a
+    non-positive pivot (matrix not SPD enough for zero fill)."""
+    a = _as_csr(a)
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"ic0 needs square A, got {a.shape}")
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices)
+    n = a.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    tril = indices <= rows
+    l_indptr, l_pos = _split_rows(indptr, indices, tril)
+    v = np.array(np.asarray(a.data), np.float64)[l_pos]
+    status = _factorize("ic0", l_indptr, indices[l_pos], v)
+    if status != 0:
+        raise ValueError(
+            f"ic0 breakdown at row {-status - 1}: missing diagonal or "
+            "non-positive pivot (is A symmetric positive definite?)"
+        )
+    return CSR(
+        data=jnp.asarray(v.astype(a.dtype)),
+        indices=indices[l_pos].astype(_INT),
+        indptr=l_indptr,
+        shape=a.shape,
+    )
+
+
+def ilu_preconditioner(a: Operator) -> Callable:
+    """M ≈ A⁻¹ from ILU(0): v ↦ U⁻¹ L⁻¹ v (two substitution scans).
+    Pass as `M=` to cg/bicgstab/gmres."""
+    L, U = ilu0(a)
+
+    def apply(v):
+        y = spsolve_lower_triangular(L, v, unit_diagonal=True)
+        return spsolve_upper_triangular(U, y)
+
+    return apply
+
+
+def ic_preconditioner(a: Operator) -> Callable:
+    """M ≈ A⁻¹ from IC(0): v ↦ L⁻ᵀ L⁻¹ v — the SPD-preserving
+    preconditioner for `cg`."""
+    L = ic0(a)
+    Lt = ops.transpose_csr(L)
+
+    def apply(v):
+        y = spsolve_lower_triangular(L, v)
+        return spsolve_upper_triangular(Lt, y)
+
+    return apply
+
+
+def bandwidth(a: Operator) -> int:
+    """Matrix bandwidth max|i - j| over stored entries (host pattern
+    statistic; 0 for diagonal/empty)."""
+    a = _as_csr(a)
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices)
+    if indices.size == 0:
+        return 0
+    rows = np.repeat(np.arange(a.shape[0], dtype=np.int64), np.diff(indptr))
+    return int(np.abs(rows - indices.astype(np.int64)).max())
+
+
+def rcm_permutation(a: Operator, symmetric_mode: bool = False) -> np.ndarray:
+    """Reverse Cuthill–McKee bandwidth-reducing ordering (host, scipy).
+
+    Returns `perm` with the scipy convention: `permute_csr(a, perm, perm)`
+    (= dense[perm][:, perm]) clusters entries toward the diagonal —
+    plan-time preprocessing that concentrates nonzero BLOCKS for the
+    tiled executors and reduces fill-sensitivity of ilu0/ic0.
+    """
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    a = _as_csr(a)
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"rcm needs square A, got {a.shape}")
+    return np.asarray(
+        reverse_cuthill_mckee(a.to_scipy(), symmetric_mode=symmetric_mode),
+        dtype=np.int64,
+    )

@@ -52,3 +52,9 @@ from tpusparse.parallel.moe import (
 )
 
 __all__ += ["init_moe_params", "moe_forward", "moe_forward_reference", "load_balance_loss"]
+from tpusparse.parallel.gcn import (
+    make_sharded_gcn_forward,
+    make_sharded_gcn_train_step,
+)
+
+__all__ += ["make_sharded_gcn_forward", "make_sharded_gcn_train_step"]

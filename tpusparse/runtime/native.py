@@ -122,6 +122,11 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p,
             i32p,
         ]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        for fac in ("ts_ilu0", "ts_ic0"):
+            fn = getattr(lib, fac)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [i32p, i32p, ctypes.c_int64, f64p]
         lib.ts_num_threads.restype = ctypes.c_int
         lib.ts_num_threads.argtypes = []
         _lib = lib
@@ -216,6 +221,24 @@ def spgemm_symbolic(
         c_pos,
     )
     return c_indptr, c_indices, a_pos, b_pos, c_pos
+
+
+def factorize_inplace(
+    kind: str, indptr: np.ndarray, indices: np.ndarray, vals64: np.ndarray
+) -> int:
+    """Native ILU(0)/IC(0) value pass on fp64 values IN PLACE.
+
+    kind: 'ilu0' (full square pattern, sorted, diagonal present) or 'ic0'
+    (lower-triangular pattern, diagonal last per row). Returns 0 on
+    success, -(i+1) for a structural/pivot failure at row i.
+    """
+    lib = _load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    assert vals64.dtype == np.float64 and vals64.flags.c_contiguous
+    fn = lib.ts_ilu0 if kind == "ilu0" else lib.ts_ic0
+    return int(fn(indptr, indices, indptr.shape[0] - 1, vals64))
 
 
 def coo_to_csr(rows: np.ndarray, m: int):
