@@ -1,0 +1,131 @@
+"""Smoothed-aggregation AMG preconditioner.
+
+No reference analog (the reference stops at the matmul layer) — AMG is
+the capstone consumer of the framework's own primitives: the hierarchy
+is built with spgemm (Galerkin Pᵀ·A·P) + sp_sub/sp_scale, and the
+V-cycle is plan-cached spmm matvecs, so these tests exercise SpGEMM and
+SpMM composing under jit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as ssp
+
+import tpusparse as ts
+from tpusparse.amg import smoothed_aggregation_setup
+from tpusparse.linalg import cg
+
+
+def _poisson2d(n1, dtype=np.float32):
+    """I⊗T + T⊗I built with the framework's own sp_kron."""
+    T = ssp.diags([-1, 2, -1], [-1, 0, 1], shape=(n1, n1), format="csr")
+    I = ssp.eye(n1, format="csr")
+
+    def s(m):
+        m = m.tocsr().astype(dtype)
+        m.sort_indices()
+        return ts.CSR.from_scipy(m)
+
+    return ts.sp_add(ts.sp_kron(s(I), s(T)), ts.sp_kron(s(T), s(I)))
+
+
+def _resid(a, x, b):
+    r = np.asarray(b) - np.asarray(ts.spmm(a, x[:, None]))[:, 0]
+    return np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def poisson():
+    a = _poisson2d(24)
+    m = smoothed_aggregation_setup(a, coarse_size=40)
+    return a, m
+
+
+def test_hierarchy_shape(poisson):
+    a, m = poisson
+    assert len(m.levels) >= 2
+    # strictly coarsening, last level small enough for the dense solve
+    sizes = [l.a.shape[0] for l in m.levels]
+    assert sizes == sorted(sizes, reverse=True) and sizes[-1] <= 40
+    assert m.grid_complexity < 2.0
+    assert "level 0" in m.report()
+
+
+def test_galerkin_product_matches_dense(poisson):
+    a, m = poisson
+    lvl = m.levels[0]
+    p = np.asarray(lvl.p.to_dense(), np.float64)
+    a0 = np.asarray(a.to_dense(), np.float64)
+    ac = np.asarray(m.levels[1].a.to_dense(), np.float64)
+    np.testing.assert_allclose(ac, p.T @ a0 @ p, rtol=1e-4, atol=1e-5)
+
+
+def test_vcycle_contracts(poisson):
+    a, m = poisson
+    rng = np.random.default_rng(0)
+    n = a.shape[0]
+    b = ts.spmm(a, jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32)))[
+        :, 0
+    ]
+    x = jnp.zeros_like(b)
+    resids = []
+    for _ in range(6):
+        x = x + m(b - ts.spmm(a, x[:, None])[:, 0])
+        resids.append(_resid(a, x, b))
+    # standalone stationary solver: robust contraction every cycle
+    assert resids[-1] < 1e-3, resids
+    for r0, r1 in zip(resids, resids[1:]):
+        assert r1 < 0.6 * r0, resids
+
+
+def test_preconditioned_cg_beats_plain(poisson):
+    a, m = poisson
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.normal(size=(a.shape[0],)).astype(np.float32))
+    x_amg, _ = cg(a, b, M=m, tol=0.0, maxiter=10)
+    x_plain, _ = cg(a, b, tol=0.0, maxiter=10)
+    assert _resid(a, x_amg, b) < 1e-2 * _resid(a, x_plain, b)
+
+
+def test_apply_under_jit_and_multivector(poisson):
+    a, m = poisson
+    rng = np.random.default_rng(2)
+    n = a.shape[0]
+    b = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(m)(b)), np.asarray(m(b)), rtol=1e-5, atol=1e-5
+    )
+    v = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    out = np.asarray(m(v))
+    for k in range(3):
+        np.testing.assert_allclose(
+            out[:, k], np.asarray(m(v[:, k])), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_guards():
+    with pytest.raises(ValueError, match="square"):
+        smoothed_aggregation_setup(ts.random_csr(0, (8, 9), 0.5))
+    # zero diagonal rejected
+    a = ssp.csr_matrix(
+        np.array([[0.0, 1.0], [1.0, 2.0]], np.float32)
+    )
+    a.sort_indices()
+    with pytest.raises(ValueError, match="diagonal"):
+        smoothed_aggregation_setup(ts.CSR.from_scipy(a))
+
+
+def test_tiny_matrix_direct():
+    # n below coarse_size: hierarchy is a single dense-LU level
+    a = _poisson2d(3)
+    m = smoothed_aggregation_setup(a, coarse_size=40)
+    assert len(m.levels) == 1
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.normal(size=(9,)).astype(np.float32))
+    x = m(b)
+    np.testing.assert_allclose(
+        np.asarray(ts.spmm(a, x[:, None]))[:, 0], np.asarray(b),
+        rtol=1e-4, atol=1e-5,
+    )

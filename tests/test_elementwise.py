@@ -6,8 +6,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import scipy.sparse as ssp
 from jax.test_util import check_grads
 
+import tpusparse as ts
 from tpusparse import (
     block_diag,
     hstack,
@@ -502,3 +504,64 @@ def test_permute_csr_rejects_non_permutation():
         permute_csr(a, np.zeros(8, np.int64))
     with pytest.raises(ValueError, match="col_perm"):
         permute_csr(a, None, np.array([0] * 8))
+
+
+# ---- constructors: kron / tril / triu ----
+
+
+def _sc(m):
+    m = m.tocsr().astype(np.float32)
+    m.sort_indices()
+    return CSR.from_scipy(m)
+
+
+def test_sp_kron_matches_scipy():
+    a = ssp.random(13, 17, density=0.2, format="csr", random_state=1)
+    b = ssp.random(7, 5, density=0.3, format="csr", random_state=2)
+    k = ts.sp_kron(_sc(a), _sc(b))
+    ref = ssp.kron(a, b, format="csr")
+    ref.sort_indices()
+    np.testing.assert_allclose(
+        np.asarray(k.to_dense()), ref.toarray(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(k.indices), ref.indices)
+    np.testing.assert_array_equal(np.asarray(k.indptr), ref.indptr)
+
+
+def test_sp_kron_grads_both_operands():
+    a = _sc(ssp.random(6, 6, density=0.4, format="csr", random_state=3))
+    b = _sc(ssp.random(4, 4, density=0.5, format="csr", random_state=4))
+
+    def f(da, db):
+        k = ts.sp_kron(
+            CSR(da, a.indices, a.indptr, a.shape),
+            CSR(db, b.indices, b.indptr, b.shape),
+        )
+        return (k.data**2).sum()
+
+    jax.test_util.check_grads(f, (a.data, b.data), order=1, modes=("rev",))
+
+
+def test_sp_tril_triu_match_scipy():
+    a = ssp.random(11, 9, density=0.35, format="csr", random_state=5)
+    for k in (-3, -1, 0, 1, 4):
+        np.testing.assert_allclose(
+            np.asarray(ts.sp_tril(_sc(a), k).to_dense()),
+            ssp.tril(a, k).toarray(),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ts.sp_triu(_sc(a), k).to_dense()),
+            ssp.triu(a, k).toarray(),
+            rtol=1e-6,
+        )
+
+
+def test_tril_triu_partition():
+    a = _sc(ssp.random(16, 16, density=0.3, format="csr", random_state=6))
+    lo = ts.sp_tril(a, -1)
+    up = ts.sp_triu(a, 0)
+    back = ts.sp_add(lo, up)
+    np.testing.assert_allclose(
+        np.asarray(back.to_dense()), np.asarray(a.to_dense()), rtol=1e-6
+    )

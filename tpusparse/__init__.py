@@ -56,6 +56,9 @@ from tpusparse.elementwise import (
     sp_hadamard,
     sp_scale,
     sp_map,
+    sp_kron,
+    sp_tril,
+    sp_triu,
     permute_csr,
     prune_csr,
     row_reduce,
@@ -76,6 +79,8 @@ from tpusparse.plan import (
 )
 from tpusparse import interop
 from tpusparse import linalg
+from tpusparse import amg
+from tpusparse.amg import amg_preconditioner, smoothed_aggregation_setup
 from tpusparse.linalg import speye
 from tpusparse import patch
 from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_params
@@ -83,6 +88,9 @@ from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_param
 __version__ = "0.1.0"
 
 __all__ = [
+    "amg",
+    "amg_preconditioner",
+    "smoothed_aggregation_setup",
     "COO",
     "CSR",
     "BSR",
@@ -121,6 +129,9 @@ __all__ = [
     "sp_hadamard",
     "sp_scale",
     "sp_map",
+    "sp_kron",
+    "sp_tril",
+    "sp_triu",
     "permute_csr",
     "prune_csr",
     "row_reduce",

@@ -418,3 +418,77 @@ def permute_csr(a: CSR, row_perm=None, col_perm=None) -> CSR:
         indptr=new_indptr,
         shape=a.shape,
     )
+
+
+def sp_kron(a: CSR, b: CSR) -> CSR:
+    """Kronecker product A ⊗ B as CSR (scipy.sparse.kron semantics).
+
+    The pattern cross-product runs on the host (trace-time constant,
+    like every structural pass); values ride one gather-multiply
+    `a.data[ka] * b.data[kb]`, so the result is jittable and
+    differentiable in both operands' values. The standard constructor
+    for grid operators (2-D Poisson = I⊗T + T⊗I) feeding the solver and
+    preconditioner stack.
+    """
+    a_indptr, a_indices = _host_pattern(a, "sp_kron")
+    b_indptr, b_indices = _host_pattern(b, "sp_kron")
+    ma, na = a.shape
+    mb, nb = b.shape
+    nnza = int(a_indptr[-1])
+    nnzb = int(b_indptr[-1])
+    if nnza * nnzb > 200_000_000:
+        raise ValueError(
+            f"sp_kron pattern would have {nnza * nnzb} entries; "
+            "build the operator blockwise instead"
+        )
+    a_rows = np.repeat(np.arange(ma, dtype=np.int64), np.diff(a_indptr))
+    b_rows = np.repeat(np.arange(mb, dtype=np.int64), np.diff(b_indptr))
+    ka = np.repeat(np.arange(nnza, dtype=np.int64), nnzb)
+    kb = np.tile(np.arange(nnzb, dtype=np.int64), nnza)
+    rows = a_rows[ka] * mb + b_rows[kb]
+    cols = a_indices[ka].astype(np.int64) * nb + b_indices[kb].astype(np.int64)
+    order = np.lexsort((cols, rows))
+    ka, kb, rows, cols = ka[order], kb[order], rows[order], cols[order]
+    indptr = np.zeros(ma * mb + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=ma * mb), out=indptr[1:])
+    return CSR(
+        data=a.data[jnp.asarray(ka.astype(_INT))]
+        * b.data[jnp.asarray(kb.astype(_INT))],
+        indices=cols.astype(_INT),
+        indptr=indptr.astype(_INT),
+        shape=(ma * mb, na * nb),
+    )
+
+
+def _tri_select(a: CSR, keep_mask: np.ndarray, indptr: np.ndarray) -> CSR:
+    pos = np.flatnonzero(keep_mask)
+    m = a.shape[0]
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    counts = np.bincount(rows[pos], minlength=m)
+    new_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(_INT)
+    return CSR(
+        data=a.data[jnp.asarray(pos.astype(_INT))],
+        indices=np.asarray(a.indices)[pos].astype(_INT),
+        indptr=new_indptr,
+        shape=a.shape,
+    )
+
+
+def sp_tril(a: CSR, k: int = 0) -> CSR:
+    """Lower triangle (entries with j - i <= k) as CSR, scipy.sparse.tril
+    semantics. Host pattern mask + one differentiable value gather."""
+    indptr, indices = _host_pattern(a, "sp_tril")
+    rows = np.repeat(
+        np.arange(a.shape[0], dtype=np.int64), np.diff(indptr)
+    )
+    return _tri_select(a, indices.astype(np.int64) - rows <= k, indptr)
+
+
+def sp_triu(a: CSR, k: int = 0) -> CSR:
+    """Upper triangle (entries with j - i >= k) as CSR, scipy.sparse.triu
+    semantics."""
+    indptr, indices = _host_pattern(a, "sp_triu")
+    rows = np.repeat(
+        np.arange(a.shape[0], dtype=np.int64), np.diff(indptr)
+    )
+    return _tri_select(a, indices.astype(np.int64) - rows >= k, indptr)
