@@ -324,3 +324,88 @@ def test_sharded_gcn_trains(rng):
             float(sloss), float(dloss), rtol=2e-3, atol=2e-4
         )
     assert slosses[-1] < slosses[0]
+
+
+# ---- distributed solvers (parallel/linalg.py) ----
+
+
+def _spd_csr(seed, n=128, density=0.06):
+    from tpusparse import sp_add, transpose_csr
+    from tpusparse.linalg import speye
+
+    b = random_csr(seed, (n, n), density)
+    s = sp_add(b, transpose_csr(b))
+    return sp_add(s, speye(n), 1.0, 2.0 * n * density + 1.0)
+
+
+def test_sharded_matvec_matches_reference():
+    from tpusparse.parallel.linalg import make_sharded_matvec
+
+    mesh = make_mesh((8,), ("model",))
+    a = _spd_csr(0)
+    rsp = shard_plan_rows(a, 8, blocksize=(8, 8))
+    mv = make_sharded_matvec(rsp, a.data, mesh)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    ref = np.asarray(spmm_reference(a, v[:, None]))[:, 0]
+    np.testing.assert_allclose(np.asarray(mv(v)), ref, rtol=1e-4, atol=1e-5)
+    # multivector
+    vk = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(mv(vk)), np.asarray(spmm_reference(a, vk)),
+        rtol=1e-4, atol=1e-5,
+    )
+    with pytest.raises(ValueError, match="length-128"):
+        mv(jnp.zeros((64,), jnp.float32))
+
+
+def test_sharded_cg_parity():
+    from tpusparse import linalg
+    from tpusparse.parallel.linalg import sharded_cg
+
+    mesh = make_mesh((8,), ("model",))
+    a = _spd_csr(1)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    x_sh, _ = sharded_cg(a, b, mesh, blocksize=(8, 8), tol=1e-8, maxiter=300)
+    x_ref, _ = linalg.cg(a, b, tol=1e-8, maxiter=300)
+    np.testing.assert_allclose(
+        np.asarray(x_sh), np.asarray(x_ref), rtol=1e-3, atol=1e-4
+    )
+    # true residual
+    r = np.asarray(spmm_reference(a, x_sh[:, None]))[:, 0] - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
+def test_sharded_cg_preconditioned_under_jit():
+    from tpusparse.linalg import jacobi_preconditioner
+    from tpusparse.parallel.linalg import sharded_cg
+
+    mesh = make_mesh((8,), ("model",))
+    a = _spd_csr(2)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    M = jacobi_preconditioner(a)
+
+    @jax.jit
+    def solve(bb):
+        x, _ = sharded_cg(a, bb, mesh, blocksize=(8, 8), M=M, tol=1e-8, maxiter=300)
+        return x
+
+    x = solve(b)
+    r = np.asarray(spmm_reference(a, x[:, None]))[:, 0] - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
+def test_sharded_power_iteration_parity():
+    from tpusparse import linalg
+    from tpusparse.parallel.linalg import sharded_power_iteration
+
+    mesh = make_mesh((8,), ("model",))
+    a = _spd_csr(3)
+    lam_sh, v_sh = sharded_power_iteration(a, mesh, blocksize=(8, 8), iters=150)
+    lam_ref, _ = linalg.power_iteration(a, iters=150)
+    np.testing.assert_allclose(float(lam_sh), float(lam_ref), rtol=1e-3)
+    # eigen residual ||A v - lam v||
+    av = np.asarray(spmm_reference(a, np.asarray(v_sh)[:, None]))[:, 0]
+    assert np.linalg.norm(av - float(lam_sh) * np.asarray(v_sh)) < 1e-2

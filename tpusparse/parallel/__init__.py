@@ -58,3 +58,10 @@ from tpusparse.parallel.gcn import (
 )
 
 __all__ += ["make_sharded_gcn_forward", "make_sharded_gcn_train_step"]
+from tpusparse.parallel.linalg import (
+    make_sharded_matvec,
+    sharded_cg,
+    sharded_power_iteration,
+)
+
+__all__ += ["make_sharded_matvec", "sharded_cg", "sharded_power_iteration"]
