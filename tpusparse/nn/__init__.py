@@ -16,3 +16,27 @@ __all__ = [
     "LocalAttention",
     "local_global_pattern",
 ]
+
+from tpusparse.nn.rigl import (
+    apply_masks,
+    cosine_drop_fraction,
+    harvest_csr,
+    init_masks,
+    mask_grads,
+    random_mask,
+    rigl_update,
+    rigl_update_tree,
+    sparsity_of,
+)
+
+__all__ += [
+    "apply_masks",
+    "cosine_drop_fraction",
+    "harvest_csr",
+    "init_masks",
+    "mask_grads",
+    "random_mask",
+    "rigl_update",
+    "rigl_update_tree",
+    "sparsity_of",
+]
