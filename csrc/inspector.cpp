@@ -311,6 +311,47 @@ int64_t ts_ic0(const int32_t* indptr, const int32_t* indices, int64_t n,
   return 0;
 }
 
+// Greedy aggregation over a strength graph (tpusparse/amg.py's
+// `_aggregate`, native). `strong` is a per-stored-entry boolean mask
+// (strong off-diagonal connections). Pass 1: a node with no aggregated
+// strong neighbor roots a new aggregate and absorbs its strong
+// neighborhood. Pass 2: leftovers join their first aggregated strong
+// neighbor. Pass 3: isolated leftovers become singletons. Inherently
+// sequential (each decision depends on earlier ones) — the win over the
+// Python loop is constant-factor (~100x), which is what AMG setup on
+// million-row operators needs. Writes aggregate ids into `agg`,
+// returns n_agg.
+int64_t ts_aggregate(const int32_t* indptr, const int32_t* indices,
+                     const uint8_t* strong, int64_t n, int64_t* agg) {
+  for (int64_t i = 0; i < n; ++i) agg[i] = -1;
+  int64_t n_agg = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    bool clean = true;
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (strong[p] && agg[indices[p]] != -1) {
+        clean = false;
+        break;
+      }
+    if (!clean) continue;
+    agg[i] = n_agg;
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (strong[p]) agg[indices[p]] = n_agg;
+    ++n_agg;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (strong[p] && agg[indices[p]] != -1) {
+        agg[i] = agg[indices[p]];
+        break;
+      }
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (agg[i] == -1) agg[i] = n_agg++;
+  return n_agg;
+}
+
 int ts_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

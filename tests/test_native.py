@@ -71,3 +71,26 @@ def test_empty_pattern():
     out = native.inspect(ip, ix, a.shape, (8, 16))
     assert out[3] == ref[3] == 1
     np.testing.assert_array_equal(out[1], ref[1])
+
+
+def test_native_aggregate_matches_python(monkeypatch):
+    import scipy.sparse as ssp
+
+    from tpusparse.amg import _aggregate, _strength_graph
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    n1 = 30
+    T = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n1, n1), format="csr")
+    I = ssp.eye(n1, format="csr")
+    a = (ssp.kron(I, T) + ssp.kron(T, I)).tocsr()
+    a.sort_indices()
+    rows, strong = _strength_graph(a.indptr, a.indices, a.data, 0.08)
+    agg_nat, k_nat = native.aggregate(a.indptr, a.indices, strong)
+    monkeypatch.setenv("TPUSPARSE_NO_NATIVE", "1")
+    agg_py, k_py = _aggregate(a.indptr, a.indices, rows, strong, a.shape[0])
+    assert k_nat == k_py
+    np.testing.assert_array_equal(agg_nat, agg_py)
+    # every node aggregated, ids dense in [0, n_agg)
+    assert agg_nat.min() == 0 and agg_nat.max() == k_nat - 1
+    assert set(np.unique(agg_nat)) == set(range(k_nat))

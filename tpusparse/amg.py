@@ -62,7 +62,14 @@ def _aggregate(indptr, indices, rows, strong, n: int):
     and absorbs its strong neighborhood. Pass 2: remaining nodes join
     the aggregate of their first aggregated strong neighbor. Pass 3:
     leftovers become singletons. Returns (agg (n,) int64, n_agg).
+
+    Routed to the native C++ pass (csrc ts_aggregate, bitwise-identical)
+    when the runtime is available; this Python loop is the fallback.
     """
+    from tpusparse.runtime import native
+
+    if native.available():
+        return native.aggregate(indptr, indices, strong)
     agg = np.full(n, -1, np.int64)
     n_agg = 0
     for i in range(n):

@@ -127,6 +127,10 @@ def _load() -> Optional[ctypes.CDLL]:
             fn = getattr(lib, fac)
             fn.restype = ctypes.c_int64
             fn.argtypes = [i32p, i32p, ctypes.c_int64, f64p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.ts_aggregate.restype = ctypes.c_int64
+        lib.ts_aggregate.argtypes = [i32p, i32p, u8p, ctypes.c_int64, i64p]
         lib.ts_num_threads.restype = ctypes.c_int
         lib.ts_num_threads.argtypes = []
         _lib = lib
@@ -252,3 +256,22 @@ def coo_to_csr(rows: np.ndarray, m: int):
     order = np.zeros((nnz,), dtype=np.int64)
     lib.ts_coo_to_csr(rows, nnz, m, indptr, order)
     return indptr, order
+
+
+def aggregate(
+    indptr: np.ndarray, indices: np.ndarray, strong: np.ndarray
+) -> Tuple[np.ndarray, int]:
+    """Native greedy strength-graph aggregation (csrc ts_aggregate).
+
+    Returns (agg (n,) int64, n_agg) — bitwise-identical to the Python
+    pass in tpusparse/amg.py.
+    """
+    lib = _load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    strong = np.ascontiguousarray(strong, dtype=np.uint8)
+    n = indptr.shape[0] - 1
+    agg = np.empty(n, np.int64)
+    n_agg = int(lib.ts_aggregate(indptr, indices, strong, n, agg))
+    return agg, n_agg
