@@ -298,3 +298,88 @@ def test_bert_layer_rejects_bad_config(rng):
         BertAttentionLayer(attention="local").init(
             jax.random.PRNGKey(0), x, jnp.ones((64, 64), bool)
         )
+
+
+# ---- BigBird block pattern ----
+
+
+def test_bigbird_pattern_structure():
+    from tpusparse.nn import bigbird_pattern
+
+    seq, block = 256, 32
+    indices, indptr = bigbird_pattern(
+        seq, block=block, window_blocks=3, num_global_blocks=1,
+        num_random_blocks=1, seed=0,
+    )
+    nb = seq // block
+    dense = np.zeros((seq, seq), bool)
+    rows = np.repeat(np.arange(seq), np.diff(indptr))
+    dense[rows, indices] = True
+    # block structure: every block is all-true or all-false
+    grid = dense.reshape(nb, block, nb, block)
+    per_block = grid.sum(axis=(1, 3))
+    assert set(np.unique(per_block)) <= {0, block * block}
+    bg = per_block > 0
+    # window diagonal present
+    assert bg.diagonal().all()
+    assert np.diag(bg, 1).all() and np.diag(bg, -1).all()
+    # global first block row and column
+    assert bg[0].all() and bg[:, 0].all()
+    # every block row has at least one random block beyond window+global
+    half, ng = 1, 1
+    for r in range(2, nb - 1):
+        base = (np.abs(np.arange(nb) - r) <= half) | (np.arange(nb) < ng)
+        base[:ng] = True
+        extra = bg[r] & ~base
+        assert extra.sum() >= 1, r
+    # determinism in seed
+    i2, p2 = bigbird_pattern(seq, block=block, window_blocks=3,
+                             num_global_blocks=1, num_random_blocks=1, seed=0)
+    np.testing.assert_array_equal(indices, i2)
+    i3, _ = bigbird_pattern(seq, block=block, window_blocks=3,
+                            num_global_blocks=1, num_random_blocks=1, seed=1)
+    assert not np.array_equal(indices, i3)
+    with pytest.raises(ValueError, match="multiple"):
+        bigbird_pattern(100, block=32)
+
+
+def test_sparse_attention_with_bigbird_pattern_matches_masked_dense(rng):
+    from functools import partial
+
+    from tpusparse.nn import SparseSelfAttention, bigbird_pattern
+
+    seq, block = 128, 32
+    pf = partial(bigbird_pattern, block=block, window_blocks=1,
+                 num_global_blocks=1, num_random_blocks=1, seed=3)
+    layer = SparseSelfAttention(num_heads=2, head_dim=8, pattern_fn=pf)
+    x = jnp.asarray(rng.normal(size=(2, seq, 16)).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == (2, seq, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # oracle: dense attention with -inf outside the pattern, fp64
+    indices, indptr = pf(seq)
+    rows = np.repeat(np.arange(seq), np.diff(indptr))
+    allowed = np.zeros((seq, seq), bool)
+    allowed[rows, indices] = True
+
+    p = params["params"]
+    xe = np.asarray(x, np.float64)
+    def lin(name):
+        # DenseLinear kernels are (out, in): y = x @ Wᵀ + b
+        k = np.asarray(p[name]["kernel"], np.float64)
+        b = np.asarray(p[name]["bias"], np.float64)
+        return xe @ k.T + b
+    q, k, v = lin("query"), lin("key"), lin("value")
+    def split(t):
+        return t.reshape(2, seq, 2, 8).transpose(0, 2, 1, 3)
+    qh, kh, vh = split(q), split(k), split(v)
+    scores = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(8.0)
+    scores = np.where(allowed, scores, -np.inf)
+    probs = np.exp(scores - scores.max(axis=-1, keepdims=True))
+    probs /= probs.sum(axis=-1, keepdims=True)
+    ctx = (probs @ vh).transpose(0, 2, 1, 3).reshape(2, seq, 16)
+    ref = ctx @ np.asarray(p["out"]["kernel"], np.float64).T + np.asarray(
+        p["out"]["bias"], np.float64
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)

@@ -2,6 +2,7 @@ from tpusparse.nn.layers import DenseLinear, SparseLinear, BlockSparseLinear, Pa
 from tpusparse.nn.attention import (
     SelfAttention,
     SparseSelfAttention,
+    bigbird_pattern,
     LocalAttention,
     local_global_pattern,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "Pattern",
     "SelfAttention",
     "SparseSelfAttention",
+    "bigbird_pattern",
     "LocalAttention",
     "local_global_pattern",
 ]

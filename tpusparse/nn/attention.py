@@ -13,7 +13,7 @@ BERT") but never ships.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -46,6 +46,54 @@ def local_global_pattern(
     return indices, indptr
 
 
+def bigbird_pattern(
+    seq: int,
+    block: int = 64,
+    window_blocks: int = 3,
+    num_global_blocks: int = 1,
+    num_random_blocks: int = 2,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """BigBird-style BLOCK attention pattern: sliding window + global +
+    random blocks (Zaheer et al.'s three components, re-derived at block
+    granularity so every allowed region is an MXU-friendly dense tile).
+
+    The (seq/block)² block grid admits: the `window_blocks`-wide block
+    diagonal, the first `num_global_blocks` block rows AND columns
+    (bidirectional global tokens), and `num_random_blocks` uniformly
+    sampled extra blocks per block row (deterministic in `seed` — the
+    pattern is a trace-time constant, so the SAME random blocks are used
+    for the whole training run, which is what makes plans cacheable).
+    Returns CSR (indices, indptr) over TOKENS, like
+    `local_global_pattern`, ready for `SparseSelfAttention`'s kernels.
+    """
+    if seq % block:
+        raise ValueError(f"seq {seq} must be a multiple of block {block}")
+    nb = seq // block
+    bi = np.arange(nb)[:, None]
+    bj = np.arange(nb)[None, :]
+    half = window_blocks // 2
+    allowed = np.abs(bi - bj) <= half
+    if num_global_blocks:
+        allowed |= bj < num_global_blocks
+        allowed |= bi < num_global_blocks
+    if num_random_blocks and nb > window_blocks + num_global_blocks:
+        rng = np.random.default_rng(seed)
+        for r in range(nb):
+            cand = np.flatnonzero(~allowed[r])
+            if cand.size:
+                pick = rng.choice(
+                    cand, size=min(num_random_blocks, cand.size), replace=False
+                )
+                allowed[r, pick] = True
+    # expand block grid to token CSR
+    tok = np.kron(allowed, np.ones((block, block), bool))
+    indptr = np.zeros(seq + 1, dtype=np.int32)
+    np.cumsum(tok.sum(axis=1), out=indptr[1:])
+    indices = np.nonzero(tok)[1].astype(np.int32)
+    return indices, indptr
+
+
 class SparseSelfAttention(nn.Module):
     """Multi-head self-attention with block-sparse attention scores.
 
@@ -63,6 +111,10 @@ class SparseSelfAttention(nn.Module):
     head_dim: int
     window: int = 64
     num_global: int = 0
+    # optional seq -> (indices, indptr) override; e.g.
+    # partial(bigbird_pattern, block=64). A callable (hashable) rather
+    # than raw arrays so the module stays a well-behaved frozen dataclass.
+    pattern_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, hidden):
@@ -80,7 +132,12 @@ class SparseSelfAttention(nn.Module):
             ).reshape(b * self.num_heads, s, self.head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        indices, indptr = local_global_pattern(s, self.window, self.num_global)
+        if self.pattern_fn is not None:
+            indices, indptr = self.pattern_fn(s)
+        else:
+            indices, indptr = local_global_pattern(
+                s, self.window, self.num_global
+            )
         rows = np.repeat(np.arange(s, dtype=np.int32), np.diff(indptr))
         scale = 1.0 / np.sqrt(self.head_dim)
 
