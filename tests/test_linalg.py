@@ -327,3 +327,55 @@ def test_rcm_reduces_bandwidth():
 
 def test_bandwidth_trivia():
     assert linalg.bandwidth(linalg.speye(5)) == 0
+
+
+# ---- Lanczos eigsh ----
+
+
+def test_eigsh_lanczos_matches_scipy():
+    a = _spd(11, n=160, density=0.05)
+    a64 = _to_scipy64(a)
+    for which, k in (("LA", 4), ("SA", 3), ("LM", 2)):
+        vals, vecs = linalg.eigsh_lanczos(a, k=k, which=which, iters=70)
+        dense_vals = np.linalg.eigvalsh(a64.toarray())
+        if which == "LA":
+            ref = dense_vals[::-1][:k]
+        elif which == "SA":
+            ref = dense_vals[:k]
+        else:
+            ref = dense_vals[np.argsort(np.abs(dense_vals))[::-1][:k]]
+        np.testing.assert_allclose(
+            np.sort(np.asarray(vals)), np.sort(ref), rtol=1e-3, atol=1e-3
+        )
+        # eigen residuals against the fp64 operator
+        for i in range(k):
+            v = np.asarray(vecs[:, i], np.float64)
+            lam = float(np.asarray(vals)[i])
+            assert np.linalg.norm(a64 @ v - lam * v) < 2e-2, (which, i)
+
+
+def test_eigsh_lanczos_under_jit():
+    a = _spd(12, n=96)
+    f = jax.jit(lambda: linalg.eigsh_lanczos(a, k=2, iters=40))
+    vals_j, _ = f()
+    vals_e, _ = linalg.eigsh_lanczos(a, k=2, iters=40)
+    np.testing.assert_allclose(
+        np.asarray(vals_j), np.asarray(vals_e), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_eigsh_lanczos_agrees_with_lobpcg_and_power():
+    a = _spd(13, n=128)
+    vals, _ = linalg.eigsh_lanczos(a, k=1, iters=60)
+    lam_p, _ = linalg.power_iteration(a, iters=300)
+    np.testing.assert_allclose(float(vals[0]), float(lam_p), rtol=1e-3)
+
+
+def test_eigsh_lanczos_guards():
+    with pytest.raises(ValueError, match="square"):
+        linalg.eigsh_lanczos(random_csr(0, (8, 9), 0.5))
+    a = _spd(14, n=32)
+    with pytest.raises(ValueError, match="which"):
+        linalg.eigsh_lanczos(a, which="XX")
+    with pytest.raises(ValueError, match="at least"):
+        linalg.eigsh_lanczos(a, k=30, iters=8)

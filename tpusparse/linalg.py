@@ -569,3 +569,83 @@ def rcm_permutation(a: Operator, symmetric_mode: bool = False) -> np.ndarray:
         reverse_cuthill_mckee(a.to_scipy(), symmetric_mode=symmetric_mode),
         dtype=np.int64,
     )
+
+
+def eigsh_lanczos(
+    a: Operator,
+    k: int = 6,
+    *,
+    which: str = "LA",
+    iters: Optional[int] = None,
+    seed: int = 0,
+    method: str = "auto",
+):
+    """Top/bottom-k eigenpairs of symmetric A by the Lanczos process.
+
+    The classic Krylov eigensolver (scipy.sparse.linalg.eigsh's ARPACK
+    surface) built on the framework's SpMM matvec: m Lanczos steps with
+    FULL reorthogonalization (two classical Gram-Schmidt passes per step
+    — fp32 Lanczos loses orthogonality within ~20 steps without it),
+    then a dense eigendecomposition of the small tridiagonal and Ritz
+    vectors V·S. One matvec per step (vector Krylov; see `lobpcg_topk`
+    for the blocked MXU-friendly alternative that advances k vectors per
+    SpMM). which: 'LA' (largest algebraic), 'SA' (smallest), 'LM'
+    (largest magnitude). Returns (eigenvalues (k,), eigenvectors (n,k)).
+    """
+    csr = _as_csr(a)
+    n = csr.shape[0]
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError(f"eigsh needs square A, got {csr.shape}")
+    if which not in ("LA", "SA", "LM"):
+        raise ValueError(f"unknown which {which!r} (LA/SA/LM)")
+    m = min(n, iters if iters is not None else max(2 * k + 8, 24))
+    if k > m:
+        raise ValueError(f"k={k} needs at least k Lanczos steps, got m={m}")
+    mv = as_matvec(csr, method)
+    dt = csr.dtype
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=dt)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def step(carry, _):
+        V, alphas, betas, j = carry
+        v = V[j]
+        w = mv(v)
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v
+        # full reorth, two CGS passes (rows > j are zero: subtracting
+        # their projections is a no-op, so no masking needed)
+        for _ in range(2):
+            w = w - V.T @ (V @ w)
+        beta = jnp.linalg.norm(w)
+        # on breakdown (invariant subspace), continue with a zero vector;
+        # the tridiagonal decouples and eigh still returns valid Ritz pairs
+        safe = jnp.where(beta > 1e-7, beta, 1.0)
+        vnext = jnp.where(beta > 1e-7, w / safe, jnp.zeros_like(w))
+        V = V.at[j + 1].set(vnext)
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(jnp.where(beta > 1e-7, beta, 0.0))
+        return (V, alphas, betas, j + 1), None
+
+    V0 = jnp.zeros((m + 1, n), dt).at[0].set(v0)
+    with jax.default_matmul_precision("highest"):
+        (V, alphas, betas, _), _ = jax.lax.scan(
+            step,
+            (V0, jnp.zeros((m,), dt), jnp.zeros((m,), dt), 0),
+            None,
+            length=m,
+        )
+        T = (
+            jnp.diag(alphas)
+            + jnp.diag(betas[: m - 1], 1)
+            + jnp.diag(betas[: m - 1], -1)
+        )
+        theta, s = jnp.linalg.eigh(T)  # ascending
+        if which == "LA":
+            order = jnp.arange(m - 1, m - 1 - k, -1)
+        elif which == "SA":
+            order = jnp.arange(k)
+        else:  # LM
+            order = jnp.argsort(jnp.abs(theta))[::-1][:k]
+        u = V[:m].T @ s[:, order]
+        u = u / jnp.linalg.norm(u, axis=0, keepdims=True)
+    return theta[order], u

@@ -8,6 +8,7 @@ from tpusparse.models.gcn import (
     two_cluster_graph,
 )
 from tpusparse.models.gat import GAT, GATLayer, add_self_loops
+from tpusparse.models.appnp import APPNP, appnp_propagate
 
 __all__ = [
     "MnistNet",
@@ -21,6 +22,8 @@ __all__ = [
     "random_graph",
     "two_cluster_graph",
     "GAT",
+    "APPNP",
+    "appnp_propagate",
     "GATLayer",
     "add_self_loops",
 ]
