@@ -3,8 +3,9 @@
 No reference analog (the reference stops at the matmul layer,
 SURVEY.md §2.1) — this is the capstone consumer of the framework's own
 primitives: the setup phase builds the whole grid hierarchy with
-`spgemm` (Galerkin triple product Pᵀ·A·P), `sp_sub`/`sp_scale`
-(prolongator smoothing) and `ops.transpose_csr`, and the apply phase is
+the framework's SpGEMM schedules (Galerkin triple product Pᵀ·A·P via
+`spgemm_plan` + host value passes — see the note above
+`smoothed_aggregation_setup`), and the apply phase is
 nothing but plan-cached `ops.spmm` matvecs + a dense coarse solve — so
 every V-cycle runs as one jittable XLA program on TPU.
 
@@ -31,9 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpusparse import ops
-from tpusparse.elementwise import sp_scale, sp_sub
 from tpusparse.linalg import Operator, _as_csr
-from tpusparse.spgemm import spgemm
 from tpusparse.types import CSR
 
 __all__ = ["AMGPreconditioner", "smoothed_aggregation_setup", "amg_preconditioner"]
@@ -95,27 +94,6 @@ def _aggregate(indptr, indices, rows, strong, n: int):
             agg[i] = n_agg
             n_agg += 1
     return agg, n_agg
-
-
-def _tentative_prolongator(agg: np.ndarray, n_agg: int, dtype) -> CSR:
-    """P_t: one entry per row, column = aggregate id, unit-norm columns
-    (the constant vector restricted to each aggregate, normalized)."""
-    n = agg.shape[0]
-    sizes = np.bincount(agg, minlength=n_agg).astype(np.float64)
-    data = (1.0 / np.sqrt(sizes))[agg]
-    return CSR(
-        data=jnp.asarray(data.astype(dtype)),
-        indices=agg.astype(_INT),
-        indptr=np.arange(n + 1, dtype=_INT),
-        shape=(n, n_agg),
-    )
-
-
-def _row_scale(a: CSR, s: np.ndarray) -> CSR:
-    """diag(s) · A with a host row expansion (pattern unchanged)."""
-    indptr = np.asarray(a.indptr)
-    rows = np.repeat(np.arange(a.shape[0], dtype=np.int64), np.diff(indptr))
-    return sp_scale(a, jnp.asarray(s[rows].astype(np.asarray(a.data).dtype)))
 
 
 def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 15) -> float:
@@ -205,6 +183,72 @@ class AMGPreconditioner:
         return "\n".join(lines)
 
 
+# ---- host value algebra over the framework's own SpGEMM schedules ----
+#
+# Setup runs ENTIRELY on the host: values are concrete at setup time
+# (ilu0's contract), and doing the one-shot value passes with jnp would
+# compile a fresh XLA program per unique shape per level — measured
+# 274 TPU compilations / 126 s of a 145 s setup at n=262k. The numpy
+# passes below ride the SAME native symbolic schedules as `spgemm`
+# (csrc ts_spgemm_*) and cost milliseconds.
+
+
+def _h_spgemm(aip, aix, ad, bip, bix, bd, m, n):
+    """C = A @ B on host numpy via the spgemm multiplication schedule.
+
+    Calls the native symbolic pass (csrc ts_spgemm_*) directly rather
+    than `spgemm_plan`: the plan object stores its schedule on DEVICE,
+    and pulling ~100MB schedules back through the TPU tunnel dominated
+    setup (5.9 s warm, minutes when the tunnel is slow). Setup-only
+    patterns also shouldn't pollute the device plan cache."""
+    from tpusparse.runtime import native
+
+    if native.available():
+        res = native.spgemm_symbolic(aip, aix, bip, bix, m, n)
+        if res is not None:
+            c_indptr, c_indices, a_pos, b_pos, c_pos = res
+            cd = np.bincount(
+                c_pos,
+                weights=ad[a_pos] * bd[b_pos],
+                minlength=c_indices.shape[0],
+            )
+            return c_indptr, c_indices, cd
+    # fallback: scipy's SMMP spgemm (same structural-pattern semantics)
+    import scipy.sparse as _ssp
+
+    k = bip.shape[0] - 1
+    c = (
+        _ssp.csr_matrix((ad, aix, aip), shape=(m, k))
+        @ _ssp.csr_matrix((bd, bix, bip), shape=(k, n))
+    ).tocsr()
+    c.sort_indices()
+    return c.indptr.astype(_INT), c.indices.astype(_INT), c.data
+
+
+def _h_sub(aip, aix, ad, bip, bix, bd, m, n):
+    """A - B on host numpy (union pattern, scipy/sp_sub semantics)."""
+    ra = np.repeat(np.arange(m, dtype=np.int64), np.diff(aip))
+    rb = np.repeat(np.arange(m, dtype=np.int64), np.diff(bip))
+    fa = ra * n + aix.astype(np.int64)
+    fb = rb * n + bix.astype(np.int64)
+    uniq = np.union1d(fa, fb)
+    cd = np.zeros(uniq.size, np.float64)
+    np.add.at(cd, np.searchsorted(uniq, fa), ad)
+    np.subtract.at(cd, np.searchsorted(uniq, fb), bd)
+    indptr = np.zeros(m + 1, np.int64)
+    np.cumsum(np.bincount((uniq // n).astype(np.int64), minlength=m),
+              out=indptr[1:])
+    return indptr.astype(_INT), (uniq % n).astype(_INT), cd
+
+
+def _h_transpose(ip, ix, d, m, n):
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ip))
+    perm = np.argsort(ix, kind="stable")
+    t_indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(ix, minlength=n), out=t_indptr[1:])
+    return t_indptr.astype(_INT), rows[perm].astype(_INT), d[perm]
+
+
 def smoothed_aggregation_setup(
     a: Operator,
     *,
@@ -225,43 +269,74 @@ def smoothed_aggregation_setup(
         raise ValueError(f"amg needs square A, got {a.shape}")
     dtype = np.asarray(a.data).dtype
     levels: List[_Level] = []
-    cur = a
+    # host triple of the current level's operator, values in fp64
+    cur_ip = np.asarray(a.indptr)
+    cur_ix = np.asarray(a.indices)
+    cur_d = np.asarray(a.data).astype(np.float64)
+    cur_a: CSR = a
     while True:
-        n = cur.shape[0]
-        indptr = np.asarray(cur.indptr)
-        indices = np.asarray(cur.indices)
-        vals = np.asarray(cur.data).astype(np.float64)
+        n = cur_ip.shape[0] - 1
         dvec = np.zeros(n, np.float64)
-        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-        on_diag = rows == indices
-        dvec[rows[on_diag]] = vals[on_diag]
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(cur_ip))
+        on_diag = rows == cur_ix
+        dvec[rows[on_diag]] = cur_d[on_diag]
         if (dvec == 0).any():
             raise ValueError(
                 "amg needs a structurally present nonzero diagonal "
                 f"(first missing at row {int(np.argmin(dvec != 0))})"
             )
         dinv = 1.0 / dvec
-        lvl = _Level(a=cur, dinv=jnp.asarray(dinv.astype(dtype)))
+        lvl = _Level(a=cur_a, dinv=jnp.asarray(dinv.astype(dtype)))
         levels.append(lvl)
         if n <= coarse_size or len(levels) >= max_levels:
             break
-        _, strong = _strength_graph(indptr, indices, vals, theta)
-        agg, n_agg = _aggregate(indptr, indices, rows, strong, n)
+        _, strong = _strength_graph(cur_ip, cur_ix, cur_d, theta)
+        agg, n_agg = _aggregate(cur_ip, cur_ix, rows, strong, n)
         if n_agg >= n:  # coarsening stalled — stop here
             break
-        p_t = _tentative_prolongator(agg, n_agg, dtype)
+        # tentative prolongator (host triple, unit columns)
+        sizes = np.bincount(agg, minlength=n_agg).astype(np.float64)
+        pt_d = (1.0 / np.sqrt(sizes))[agg]
+        pt_ip = np.arange(n + 1, dtype=_INT)
+        pt_ix = agg.astype(_INT)
         # P = (I - omega * D^-1 A) P_t, omega = 4/3 / rho(D^-1 A)
-        rho = _rho_dinv_a(cur.to_scipy().astype(np.float64), dinv)
+        import scipy.sparse as _ssp
+
+        a_sp = _ssp.csr_matrix((cur_d, cur_ix, cur_ip), shape=(n, n))
+        rho = _rho_dinv_a(a_sp, dinv)
         omega = (4.0 / 3.0) / max(rho, 1e-12)
-        dinv_a = _row_scale(cur, dinv)
-        p = sp_sub(p_t, sp_scale(spgemm(dinv_a, p_t), omega))
-        r = ops.transpose_csr(p)
-        lvl.p, lvl.r = p, r
-        cur = spgemm(r, spgemm(cur, p))  # Galerkin A_c = P^T A P
-    coarse_dense = jnp.asarray(
-        np.asarray(levels[-1].a.to_dense(), np.float64).astype(np.float32)
-    )
-    coarse_lu = jax.scipy.linalg.lu_factor(coarse_dense)
+        da_d = cur_d * dinv[rows]  # diag(dinv) · A values
+        ap_ip, ap_ix, ap_d = _h_spgemm(
+            cur_ip, cur_ix, da_d, pt_ip, pt_ix, pt_d, n, n_agg
+        )
+        p_ip, p_ix, p_d = _h_sub(
+            pt_ip, pt_ix, pt_d, ap_ip, ap_ix, omega * ap_d, n, n_agg
+        )
+        r_ip, r_ix, r_d = _h_transpose(p_ip, p_ix, p_d, n, n_agg)
+        lvl.p = CSR(
+            data=jnp.asarray(p_d.astype(dtype)),
+            indices=p_ix, indptr=p_ip, shape=(n, n_agg),
+        )
+        lvl.r = CSR(
+            data=jnp.asarray(r_d.astype(dtype)),
+            indices=r_ix, indptr=r_ip, shape=(n_agg, n),
+        )
+        # Galerkin A_c = (P^T A) P
+        ra_ip, ra_ix, ra_d = _h_spgemm(
+            r_ip, r_ix, r_d, cur_ip, cur_ix, cur_d, n_agg, n
+        )
+        cur_ip, cur_ix, cur_d = _h_spgemm(
+            ra_ip, ra_ix, ra_d, p_ip, p_ix, p_d, n_agg, n_agg
+        )
+        cur_a = CSR(
+            data=jnp.asarray(cur_d.astype(dtype)),
+            indices=cur_ix, indptr=cur_ip, shape=(n_agg, n_agg),
+        )
+    nc = levels[-1].a.shape[0]
+    rows_c = np.repeat(np.arange(nc, dtype=np.int64), np.diff(cur_ip))
+    coarse64 = np.zeros((nc, nc), np.float64)
+    coarse64[rows_c, cur_ix] = cur_d
+    coarse_lu = jax.scipy.linalg.lu_factor(jnp.asarray(coarse64.astype(np.float32)))
     return AMGPreconditioner(
         levels=levels,
         coarse_lu=coarse_lu,
