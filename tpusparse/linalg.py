@@ -591,6 +591,12 @@ def eigsh_lanczos(
     for the blocked MXU-friendly alternative that advances k vectors per
     SpMM). which: 'LA' (largest algebraic), 'SA' (smallest), 'LM'
     (largest magnitude). Returns (eigenvalues (k,), eigenvectors (n,k)).
+
+    Degenerate eigenvalues: a single-vector Krylov space contains ONE
+    vector per eigenvalue — repeated copies only emerge via round-off
+    and need extra iterations (e.g. 2-D Poisson's λ₂=λ₃ pair appears at
+    ~2× the default m). For clustered/multiple spectra prefer
+    `lobpcg_topk`, whose block sees all copies at once.
     """
     csr = _as_csr(a)
     n = csr.shape[0]
