@@ -267,8 +267,16 @@ def main():
         "speedup_vs_3pass": t_dn / t_fl,
     }
 
+    # merge-preserve: other benchmarks (AMG, DIA, ...) record their own
+    # keys in this file; only overwrite the keys this run produced
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(details)
     with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+        json.dump(merged, f, indent=2)
 
     print(
         json.dumps(

@@ -1,0 +1,156 @@
+"""DIA (diagonal/banded) format: conversions vs scipy, the gather-free
+spmm path, routing, and the solver/AMG integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as ssp
+from jax.test_util import check_grads
+
+import tpusparse as ts
+from tpusparse.ops import _route_spmm, dia_spmm
+from tpusparse.types import DIA, csr_to_dia, dia_to_csr
+
+
+def _band(m, k, offs, seed=0):
+    rng = np.random.default_rng(seed)
+    mats = ssp.diags(
+        [rng.normal(size=min(m, k) + min(0, off) + min(0, (k - m - off if off > 0 else 0)) or 1)
+         if False else rng.normal(size=max(1, min(m + min(off, 0), k - max(off, 0))))
+         for off in offs],
+        offs, shape=(m, k),
+    ).tocsr()
+    mats.sort_indices()
+    return mats.astype(np.float32)
+
+
+def test_conversions_roundtrip_vs_scipy():
+    m_sp = _band(32, 33, [-3, 0, 2])
+    a = ts.CSR.from_scipy(m_sp)
+    d = csr_to_dia(a)
+    np.testing.assert_allclose(np.asarray(d.to_dense()), m_sp.toarray(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(DIA.from_scipy(m_sp.todia()).to_dense()), m_sp.toarray(), rtol=1e-6
+    )
+    np.testing.assert_allclose(d.to_scipy().toarray(), m_sp.toarray(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dia_to_csr(d).to_dense()), m_sp.toarray(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(DIA.from_dense(m_sp.toarray()).to_dense()),
+        m_sp.toarray(), rtol=1e-6,
+    )
+    assert d.bandwidth == 3
+    # pytree: data is the only leaf; offsets are static aux
+    leaves, _ = jax.tree_util.tree_flatten(d)
+    assert len(leaves) == 1
+
+
+def test_dia_spmm_matches_scipy(rng):
+    m_sp = _band(48, 40, [-5, -1, 0, 2, 7], seed=1)
+    d = csr_to_dia(ts.CSR.from_scipy(m_sp))
+    b = jnp.asarray(rng.normal(size=(40, 6)).astype(np.float32))
+    ref = m_sp.astype(np.float64) @ np.asarray(b, np.float64)
+    for out in (dia_spmm(d, b), ts.spmm(d, b), jax.jit(lambda bb: ts.spmm(d, bb))(b)):
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+    # 1-D and batched 3-D
+    v = jnp.asarray(rng.normal(size=(40,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dia_spmm(d, v)), m_sp @ np.asarray(v), rtol=1e-4, atol=1e-5
+    )
+    b3 = jnp.asarray(rng.normal(size=(3, 40, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dia_spmm(d, b3))[1], m_sp @ np.asarray(b3[1]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_spmm_method_dia_and_grads(rng):
+    m_sp = _band(32, 32, [-1, 0, 1], seed=2)
+    a = ts.CSR.from_scipy(m_sp)
+    b = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+    ref = m_sp.astype(np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(ts.spmm(a, b, method="dia")), ref, rtol=1e-4, atol=1e-5
+    )
+
+    # differentiable in CSR data through the dia path (jit-traced values)
+    def f(data, bb):
+        a2 = ts.CSR(data, a.indices, a.indptr, a.shape)
+        return (ts.spmm(a2, bb, method="dia") ** 2).sum()
+
+    check_grads(f, (a.data, b), order=1, modes=("rev",),
+                atol=2e-2, rtol=2e-2, eps=1e-3)
+
+
+def test_errors():
+    # big enough that the pattern spreads over >128 distinct diagonals
+    # (a 64x64 matrix has at most 127 — it is ALWAYS "banded")
+    r = ts.random_csr(0, (512, 512), 0.02)
+    with pytest.raises(ValueError, match="banded"):
+        ts.spmm(r, jnp.zeros((512, 2)), method="dia")
+    d = csr_to_dia(ts.CSR.from_scipy(_band(16, 16, [0])))
+    with pytest.raises(ValueError, match="incompatible"):
+        ts.spmm(d, jnp.zeros((9, 2)))
+    with pytest.raises(ValueError, match="sum"):
+        ts.spmm(d, jnp.zeros((16, 2)), reduce="max")
+    with pytest.raises(ValueError, match="sorted"):
+        DIA(jnp.zeros((2, 4)), np.array([1, 1]), (4, 4))
+
+
+def test_router_prefers_dia_on_banded_spmv():
+    n1 = 64
+    T = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n1, n1), format="csr")
+    I = ssp.eye(n1, format="csr")
+    p2 = (ssp.kron(I, T) + ssp.kron(T, I)).tocsr().astype(np.float32)
+    p2.sort_indices()
+    a = ts.CSR.from_scipy(p2)
+    assert _route_spmm(a, jnp.zeros((n1 * n1, 1)), None) == "dia"
+    # unbanded pattern must not route dia
+    r = ts.random_csr(1, (512, 512), 0.02)
+    assert _route_spmm(r, jnp.zeros((512, 1)), None) != "dia"
+
+
+def test_as_matvec_upgrades_banded_and_cg_converges(rng):
+    from tpusparse.linalg import _maybe_dia, cg
+
+    n1 = 16
+    T = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n1, n1), format="csr")
+    I = ssp.eye(n1, format="csr")
+    p2 = (ssp.kron(I, T) + ssp.kron(T, I) + 0.1 * ssp.eye(n1 * n1)).tocsr()
+    p2 = p2.astype(np.float32)
+    p2.sort_indices()
+    a = ts.CSR.from_scipy(p2)
+    up = _maybe_dia(a)
+    assert isinstance(up, DIA)
+    b = jnp.asarray(rng.normal(size=(n1 * n1,)).astype(np.float32))
+    # CSR operand (auto-upgraded inside) and explicit DIA operand agree
+    x1, _ = cg(a, b, tol=1e-7, maxiter=500)
+    x2, _ = cg(up, b, tol=1e-7, maxiter=500)
+    ref = np.linalg.solve(p2.toarray().astype(np.float64), np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x1), ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x2), ref, rtol=1e-3, atol=1e-4)
+    # unbanded stays CSR
+    assert isinstance(_maybe_dia(ts.random_csr(2, (512, 512), 0.02)), ts.CSR)
+
+
+def test_amg_levels_use_dia_and_match_previous_numerics():
+    n1 = 24
+    T = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n1, n1), format="csr")
+    I = ssp.eye(n1, format="csr")
+    s = lambda m: ts.CSR.from_scipy(m.tocsr().astype(np.float32))
+    a = ts.sp_add(ts.sp_kron(s(I), s(T)), ts.sp_kron(s(T), s(I)))
+    m = ts.smoothed_aggregation_setup(a, coarse_size=40)
+    assert isinstance(m.levels[0].a, DIA)
+    assert "[dia]" in m.report()
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(n1 * n1,)).astype(np.float32))
+    out = m(b)
+    assert np.isfinite(np.asarray(out)).all()
+    # V-cycle still contracts
+    x = jnp.zeros_like(b)
+    for _ in range(6):
+        x = x + m(b - ts.spmm(a, x[:, None])[:, 0])
+    r = np.asarray(b) - np.asarray(ts.spmm(a, x[:, None]))[:, 0]
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-3

@@ -20,8 +20,11 @@ from tpusparse.types import (
     COO,
     CSR,
     BSR,
+    DIA,
     coo_to_csr,
     csr_to_coo,
+    csr_to_dia,
+    dia_to_csr,
     csr_to_bsr,
     bsr_to_csr,
     random_csr,
@@ -43,6 +46,7 @@ from tpusparse.ops import (
     footprint_spmm,
     resident_spmm,
     gather_spmm,
+    dia_spmm,
     naive_spmm,
     tiled_spmm,
     sddmm,
@@ -94,6 +98,10 @@ __all__ = [
     "COO",
     "CSR",
     "BSR",
+    "DIA",
+    "csr_to_dia",
+    "dia_to_csr",
+    "dia_spmm",
     "coo_to_csr",
     "csr_to_coo",
     "csr_to_bsr",

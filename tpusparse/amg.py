@@ -114,8 +114,10 @@ def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 15) -> float:
 
 @dataclass
 class _Level:
-    a: CSR                      # operator at this level
+    a: object                   # operator at this level (CSR, or DIA when
+    #                             banded — the gather-free matvec path)
     dinv: jnp.ndarray           # 1 / diag(A) for Jacobi smoothing
+    nnz: int = 0                # structural nnz of the CSR pattern
     p: Optional[CSR] = None     # prolongator: next-coarser -> this level
     r: Optional[CSR] = None     # restriction = pᵀ
 
@@ -165,17 +167,16 @@ class AMGPreconditioner:
     @property
     def grid_complexity(self) -> float:
         """Σ nnz(A_l) / nnz(A_0) — the standard AMG memory-cost metric."""
-        n0 = int(np.asarray(self.levels[0].a.indptr)[-1])
-        return sum(
-            int(np.asarray(l.a.indptr)[-1]) for l in self.levels
-        ) / max(n0, 1)
+        return sum(l.nnz for l in self.levels) / max(self.levels[0].nnz, 1)
 
     def report(self) -> str:
+        from tpusparse.types import DIA as _DIA
+
         lines = ["AMG hierarchy (smoothed aggregation):"]
         for i, l in enumerate(self.levels):
-            nnz = int(np.asarray(l.a.indptr)[-1])
+            fmt = "dia" if isinstance(l.a, _DIA) else "csr"
             lines.append(
-                f"  level {i}: n={l.a.shape[0]:>8d} nnz={nnz:>10d}"
+                f"  level {i}: n={l.a.shape[0]:>8d} nnz={l.nnz:>10d} [{fmt}]"
                 + ("  [coarse: dense LU]" if l.p is None else "")
             )
         lines.append(f"  grid complexity {self.grid_complexity:.2f}, "
@@ -286,7 +287,13 @@ def smoothed_aggregation_setup(
                 f"(first missing at row {int(np.argmin(dvec != 0))})"
             )
         dinv = 1.0 / dvec
-        lvl = _Level(a=cur_a, dinv=jnp.asarray(dinv.astype(dtype)))
+        from tpusparse.linalg import _maybe_dia
+
+        lvl = _Level(
+            a=_maybe_dia(cur_a),  # banded levels get the gather-free matvec
+            dinv=jnp.asarray(dinv.astype(dtype)),
+            nnz=int(cur_ip[-1]),
+        )
         levels.append(lvl)
         if n <= coarse_size or len(levels) >= max_levels:
             break

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from tpusparse.types import BSR, COO, CSR, coo_to_csr, csr_to_coo
+from tpusparse.types import BSR, COO, CSR, DIA, coo_to_csr, csr_to_coo
 
 _INT = np.int32
 
@@ -134,7 +134,8 @@ def to_torch(a):
 
 
 def from_scipy(sp):
-    """scipy.sparse matrix → CSR (csr/csc/coo/bsr all accepted; bsr keeps
+    """scipy.sparse matrix → CSR (csr/csc/coo/bsr/dia all accepted;
+    dia keeps its diagonal structure as DIA; bsr keeps
     its block structure as BSR)."""
     import scipy.sparse as ssp
 
@@ -147,6 +148,8 @@ def from_scipy(sp):
             shape=tuple(int(s) for s in sp.shape),
             blocksize=(int(sp.blocksize[0]), int(sp.blocksize[1])),
         )
+    if isinstance(sp, ssp.dia_matrix):
+        return DIA.from_scipy(sp)
     if isinstance(sp, ssp.coo_matrix):
         return COO(
             data=jnp.asarray(sp.data),
@@ -162,6 +165,8 @@ def to_scipy(a):
     import scipy.sparse as ssp
 
     if isinstance(a, CSR):
+        return a.to_scipy()
+    if isinstance(a, DIA):
         return a.to_scipy()
     if isinstance(a, COO):
         return ssp.coo_matrix(

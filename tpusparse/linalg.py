@@ -23,9 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpusparse import ops
-from tpusparse.types import BSR, COO, CSR, bsr_to_csr, coo_to_csr
+from tpusparse.types import (
+    BSR,
+    COO,
+    CSR,
+    DIA,
+    bsr_to_csr,
+    coo_to_csr,
+    csr_to_dia,
+    dia_to_csr,
+)
 
-Operator = Union[CSR, BSR, COO, Callable]
+Operator = Union[CSR, BSR, COO, DIA, Callable]
 
 _INT = np.int32
 
@@ -46,7 +55,30 @@ def _as_csr(a: Operator) -> CSR:
         return bsr_to_csr(a)
     if isinstance(a, COO):
         return coo_to_csr(a)
+    if isinstance(a, DIA):
+        return dia_to_csr(a)
     return a
+
+
+def _maybe_dia(a: CSR, max_offsets: int = 128) -> Operator:
+    """Upgrade a concrete banded CSR to DIA for matvec-heavy consumers.
+
+    DIA SpMV streams at HBM rate while index formats pay XLA's scalar-
+    gather floor (~15 ns/nnz — measured 1900x slower on 1M-row
+    pentadiagonal SpMV). One-time eager conversion, so per-iteration
+    cost inside Krylov loops is zero; guarded by a 256 MB storage cap.
+    Returns `a` unchanged for unbanded/traced patterns or traced data."""
+    from tpusparse.ops import _dia_pattern
+
+    if not isinstance(a, CSR) or isinstance(a.data, jax.core.Tracer):
+        return a
+    pat = _dia_pattern(a, max_offsets)
+    if pat is None:
+        return a
+    noff = int(pat[0].size)
+    if noff * a.shape[0] * 4 > 256 * 1024 * 1024:
+        return a
+    return csr_to_dia(a, max_offsets=max_offsets)
 
 
 def as_matvec(
@@ -64,12 +96,18 @@ def as_matvec(
     `ops.spmm`'s custom_vjp has no transpose rule — gather + scatter-add
     primitives do. CG (symmetric) keeps the routed spmm.
     """
-    if callable(a) and not isinstance(a, (CSR, BSR, COO)):
+    if callable(a) and not isinstance(a, (CSR, BSR, COO, DIA)):
         return a
+    if isinstance(a, DIA):
+        if a.shape[0] != a.shape[1]:
+            raise ValueError(f"solvers need a square operator, got {a.shape}")
+        return partial(ops.spmm, a, method="auto")
     a = _as_csr(a)
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"solvers need a square operator, got {a.shape}")
     if not transposable:
+        if method == "auto":
+            a = _maybe_dia(a)  # banded operators: gather-free matvec
         return partial(ops.spmm, a, method=method)
     m = a.shape[0]
     rows = a.row_ids()

@@ -593,3 +593,169 @@ def sddmm_reference(a_pattern: CSR, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarr
         y[:, a_pattern.indices].T,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DIA:
+    """Diagonal-format sparse matrix (banded storage, row-centric).
+
+    ``data[d, i] = A[i, i + offsets[d]]`` (entries whose i+offset falls
+    outside [0, ncols) are structural zeros). ``offsets`` is HOST numpy,
+    sorted ascending — a static pattern like every tpusparse pattern.
+
+    This is the gather-free format: SpMV/SpMM is a sum of statically-
+    shifted elementwise multiplies (one dynamic_slice per diagonal), so
+    it runs at HBM streaming rate on TPU where index-driven formats pay
+    the ~60M-scalar-gathers/s XLA gather ceiling — measured 668x faster
+    on a 1M-row pentadiagonal operator (0.12 ms vs 83 ms, 42 Gnnz/s).
+    Note scipy.sparse.dia_matrix stores column-centric
+    (``data[d, j] = A[j - offsets[d], j]``); from_scipy/to_scipy convert.
+    """
+
+    data: jnp.ndarray  # (noffsets, nrows)
+    offsets: np.ndarray  # host numpy int64, sorted, static
+    shape: Shape2
+
+    def __post_init__(self):
+        offs = np.asarray(self.offsets, np.int64)
+        if offs.ndim != 1 or (np.diff(offs) <= 0).any():
+            raise ValueError("DIA offsets must be 1-D, sorted, unique")
+        object.__setattr__(self, "offsets", offs)
+
+    @property
+    def noffsets(self) -> int:
+        return int(self.offsets.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def bandwidth(self) -> int:
+        return int(np.abs(self.offsets).max(initial=0))
+
+    def tree_flatten(self):
+        # offsets are aux data: the pattern is static, like CSR shape
+        return (self.data,), (tuple(self.offsets.tolist()), self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(
+            data=children[0],
+            offsets=np.asarray(aux[0], np.int64),
+            shape=aux[1],
+        )
+
+    def _valid_mask(self) -> np.ndarray:
+        """(noff, m) bool: which slots map to in-bounds columns."""
+        m, k = self.shape
+        i = np.arange(m, dtype=np.int64)[None, :]
+        j = i + self.offsets[:, None]
+        return (j >= 0) & (j < k)
+
+    @classmethod
+    def from_dense(cls, mat) -> "DIA":
+        mat = np.asarray(mat)
+        m, k = _static_shape(mat.shape)
+        i, j = np.nonzero(mat)
+        offs = np.unique(j.astype(np.int64) - i.astype(np.int64))
+        data = np.zeros((offs.size, m), mat.dtype)
+        slot = np.searchsorted(offs, j.astype(np.int64) - i)
+        data[slot, i] = mat[i, j]
+        return cls(data=jnp.asarray(data), offsets=offs, shape=(m, k))
+
+    def to_dense(self) -> jnp.ndarray:
+        m, k = self.shape
+        out = jnp.zeros((m, k), self.dtype)
+        i = np.arange(m, dtype=np.int64)
+        mask = self._valid_mask()
+        for d, off in enumerate(self.offsets):
+            ii = i[mask[d]]
+            out = out.at[ii, ii + int(off)].set(self.data[d][jnp.asarray(mask[d])])
+        return out
+
+    @classmethod
+    def from_scipy(cls, sp) -> "DIA":
+        sp = sp.todia()
+        offs = np.asarray(sp.offsets, np.int64)
+        order = np.argsort(offs)
+        m, k = _static_shape(sp.shape)
+        data = np.zeros((offs.size, m), sp.data.dtype)
+        # scipy: data[d, j] = A[j - off, j]  ->  ours: data[d, i] = A[i, i+off]
+        for out_d, d in enumerate(order):
+            off = int(offs[d])
+            j = np.arange(max(0, off), min(k, m + off), dtype=np.int64)
+            data[out_d, j - off] = sp.data[d, j]
+        return cls(data=jnp.asarray(data), offsets=offs[order], shape=(m, k))
+
+    def to_scipy(self):
+        import scipy.sparse as ssp
+
+        m, k = self.shape
+        data = np.zeros((self.noffsets, k), np.asarray(self.data).dtype)
+        ours = np.asarray(self.data)
+        for d, off in enumerate(self.offsets):
+            off = int(off)
+            j = np.arange(max(0, off), min(k, m + off), dtype=np.int64)
+            data[d, j] = ours[d, j - off]
+        return ssp.dia_matrix((data, self.offsets), shape=self.shape)
+
+
+def csr_to_dia(a: CSR, max_offsets: int = 128) -> DIA:
+    """CSR -> DIA (host pattern pass). Raises when the pattern spreads
+    over more than ``max_offsets`` distinct diagonals — DIA storage is
+    noffsets × nrows, so scattered patterns do not belong here (the
+    spmm router checks occupancy before taking this path)."""
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices).astype(np.int64)
+    m, k = a.shape
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    offs_all = indices - rows
+    offs = np.unique(offs_all)
+    if offs.size > max_offsets:
+        raise ValueError(
+            f"pattern has {offs.size} distinct diagonals (> {max_offsets}); "
+            "not a banded matrix — use CSR executors"
+        )
+    slot = np.searchsorted(offs, offs_all)
+    if isinstance(a.data, jax.core.Tracer):
+        # traced values: one differentiable device scatter
+        data = (
+            jnp.zeros((offs.size, m), a.dtype)
+            .at[
+                (
+                    jnp.asarray(slot.astype(np.int32)),
+                    jnp.asarray(rows.astype(np.int32)),
+                )
+            ]
+            .set(a.data)
+        )
+    else:
+        # concrete values: fill on host (a 5M-entry eager 2-D device
+        # scatter measured ~3 min of XLA compile+run during AMG setup)
+        host = np.zeros((offs.size, m), np.asarray(a.data).dtype)
+        host[slot, rows] = np.asarray(a.data)
+        data = jnp.asarray(host)
+    return DIA(data=data, offsets=offs, shape=a.shape)
+
+
+def dia_to_csr(a: DIA) -> CSR:
+    """DIA -> CSR with every VALID slot kept as a structural entry
+    (consistent with the framework's structural-pattern semantics)."""
+    m, k = a.shape
+    mask = a._valid_mask()
+    d_idx, i_idx = np.nonzero(mask)
+    cols = i_idx + a.offsets[d_idx]
+    order = np.lexsort((cols, i_idx))
+    d_idx, i_idx, cols = d_idx[order], i_idx[order], cols[order]
+    indptr = np.zeros(m + 1, np.int64)
+    np.cumsum(np.bincount(i_idx, minlength=m), out=indptr[1:])
+    return CSR(
+        data=a.data[
+            (jnp.asarray(d_idx.astype(np.int32)), jnp.asarray(i_idx.astype(np.int32)))
+        ],
+        indices=cols.astype(np.int32),
+        indptr=indptr.astype(np.int32),
+        shape=a.shape,
+    )
