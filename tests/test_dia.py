@@ -154,3 +154,42 @@ def test_amg_levels_use_dia_and_match_previous_numerics():
         x = x + m(b - ts.spmm(a, x[:, None])[:, 0])
     r = np.asarray(b) - np.asarray(ts.spmm(a, x[:, None]))[:, 0]
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-3
+
+
+def test_dia_transpose(rng):
+    for (m, k, offs) in [(32, 33, [-3, 0, 2]), (20, 15, [-6, -1, 0, 4]),
+                         (5, 9, [-2, 3, 8])]:
+        diags = [
+            rng.normal(size=max(1, min(m + min(o, 0), k - max(o, 0))))
+            for o in offs
+        ]
+        msp = ssp.diags(diags, offs, shape=(m, k)).tocsr()
+        msp.sort_indices()
+        d = csr_to_dia(ts.CSR.from_scipy(msp.astype(np.float32)))
+        np.testing.assert_allclose(
+            np.asarray(d.T.to_dense()), msp.toarray().T, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(d.T.T.to_dense()), msp.toarray(), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_tridiagonal_solve(rng):
+    from tpusparse.linalg import tridiagonal_solve
+
+    n = 150
+    t_sp = ssp.diags(
+        [rng.normal(size=n - 1), 4.0 + rng.normal(size=n), rng.normal(size=n - 1)],
+        [-1, 0, 1],
+    ).tocsr()
+    t_sp.sort_indices()
+    a = ts.CSR.from_scipy(t_sp.astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    ref = np.linalg.solve(t_sp.toarray(), np.asarray(b, np.float64))
+    x = tridiagonal_solve(a, b)
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-3, atol=1e-4)
+    # DIA operand, 1-D rhs, jit
+    x1 = jax.jit(lambda bb: tridiagonal_solve(csr_to_dia(a), bb))(b[:, 0])
+    np.testing.assert_allclose(np.asarray(x1), ref[:, 0], rtol=1e-3, atol=1e-4)
+    with pytest.raises(ValueError):
+        tridiagonal_solve(ts.random_csr(0, (512, 512), 0.02), jnp.zeros((512,)))

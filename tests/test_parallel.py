@@ -409,3 +409,56 @@ def test_sharded_power_iteration_parity():
     # eigen residual ||A v - lam v||
     av = np.asarray(spmm_reference(a, np.asarray(v_sh)[:, None]))[:, 0]
     assert np.linalg.norm(av - float(lam_sh) * np.asarray(v_sh)) < 1e-2
+
+
+def test_sharded_dia_matvec_and_cg():
+    import scipy.sparse as ssp
+
+    import tpusparse as ts
+    from tpusparse.parallel.dia import make_sharded_dia_matvec, sharded_dia_cg
+
+    n1 = 16
+    T = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n1, n1), format="csr")
+    I = ssp.eye(n1, format="csr")
+    a_sp = (ssp.kron(I, T) + ssp.kron(T, I) + 0.1 * ssp.eye(n1 * n1)).tocsr()
+    a_sp = a_sp.astype(np.float32)
+    a_sp.sort_indices()
+    a = ts.csr_to_dia(ts.CSR.from_scipy(a_sp))
+    mesh = make_mesh((8,), ("model",))
+    mv = make_sharded_dia_matvec(a, mesh)
+    rng = np.random.default_rng(0)
+    n = n1 * n1
+    v = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    ref = a_sp.astype(np.float64) @ np.asarray(v, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(mv)(v)), ref, rtol=1e-4, atol=1e-5
+    )
+    vk = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(mv(vk)), a_sp @ np.asarray(vk), rtol=1e-4, atol=1e-4
+    )
+    b = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    x, _ = sharded_dia_cg(a, b, mesh, tol=1e-7, maxiter=500)
+    res = np.linalg.norm(a_sp @ np.asarray(x) - np.asarray(b))
+    assert res / np.linalg.norm(np.asarray(b)) < 1e-4
+    # rows not divisible by ndev: zero-padded tail
+    a2_sp = ssp.diags(
+        [np.ones(249), 3 * np.ones(250), np.ones(249)], [-1, 0, 1]
+    ).tocsr().astype(np.float32)
+    a2_sp.sort_indices()
+    a2 = ts.csr_to_dia(ts.CSR.from_scipy(a2_sp))
+    mv2 = make_sharded_dia_matvec(a2, mesh)
+    v2 = jnp.asarray(rng.normal(size=(250,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(mv2(v2)), a2_sp @ np.asarray(v2), rtol=1e-4, atol=1e-5
+    )
+    # bandwidth > rows-per-device is rejected
+    wide = ts.csr_to_dia(
+        ts.CSR.from_scipy(
+            ssp.diags([np.ones(250 - 40), np.ones(250)], [-40, 0])
+            .tocsr()
+            .astype(np.float32)
+        )
+    )
+    with pytest.raises(ValueError, match="bandwidth"):
+        make_sharded_dia_matvec(wide, mesh)

@@ -693,3 +693,42 @@ def eigsh_lanczos(
         u = V[:m].T @ s[:, order]
         u = u / jnp.linalg.norm(u, axis=0, keepdims=True)
     return theta[order], u
+
+
+def tridiagonal_solve(a: Operator, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact direct solve A x = b for TRIDIAGONAL A (offsets ⊆ {-1,0,1}).
+
+    Rides XLA's native Thomas-algorithm kernel
+    (`jax.lax.linalg.tridiagonal_solve`) with the diagonals pulled
+    straight from the DIA layout — the O(n) direct solver the iterative
+    stack can't beat on this bandwidth. Accepts DIA/CSR/... operands;
+    b may be (n,) or (n, k). Jittable and differentiable.
+    """
+    if isinstance(a, DIA):
+        d = a
+    else:
+        csr = _as_csr(a)
+        if csr.shape[0] != csr.shape[1]:
+            raise ValueError(f"tridiagonal solve needs square A, got {csr.shape}")
+        d = csr_to_dia(csr, max_offsets=3)
+    if not set(d.offsets.tolist()) <= {-1, 0, 1}:
+        raise ValueError(
+            f"matrix is not tridiagonal (offsets {d.offsets.tolist()}); "
+            "use cg/gmres or spsolve_*_triangular"
+        )
+    n = d.shape[0]
+    if d.shape[0] != d.shape[1]:
+        raise ValueError(f"tridiagonal solve needs square A, got {d.shape}")
+
+    def _diag(off):
+        hit = np.flatnonzero(d.offsets == off)
+        if hit.size == 0:
+            return jnp.zeros((n,), d.dtype)
+        return d.data[int(hit[0])]
+
+    # lax convention: dl[0] == 0 (sub), du[-1] == 0 (super) — the DIA
+    # layout already stores structural zeros exactly there
+    dl, dd, du = _diag(-1), _diag(0), _diag(1)
+    rhs = b if b.ndim == 2 else b[:, None]
+    x = jax.lax.linalg.tridiagonal_solve(dl, dd, du, rhs)
+    return x if b.ndim == 2 else x[:, 0]

@@ -65,3 +65,6 @@ from tpusparse.parallel.linalg import (
 )
 
 __all__ += ["make_sharded_matvec", "sharded_cg", "sharded_power_iteration"]
+from tpusparse.parallel.dia import make_sharded_dia_matvec, sharded_dia_cg
+
+__all__ += ["make_sharded_dia_matvec", "sharded_dia_cg"]

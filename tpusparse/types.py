@@ -654,6 +654,32 @@ class DIA:
         j = i + self.offsets[:, None]
         return (j >= 0) & (j < k)
 
+    def transpose(self) -> "DIA":
+        """Aᵀ as DIA: offsets negate (re-sorted ascending) and each
+        diagonal's values shift — Aᵀ[j, j+off'] with off' = -off equals
+        A[j - off', j], stored at data[d, j - off']. Host-static slice
+        arithmetic per diagonal; values ride pure jnp ops."""
+        m, k = self.shape
+        rows_new = []
+        for d in range(self.noffsets - 1, -1, -1):
+            off = int(self.offsets[d])
+            row = self.data[d]
+            t = jnp.zeros((k,), self.dtype)
+            lo = max(0, off)
+            hi = min(k, m + off)
+            if hi > lo:
+                t = t.at[lo:hi].set(row[lo - off : hi - off])
+            rows_new.append(t)
+        return DIA(
+            data=jnp.stack(rows_new),
+            offsets=np.sort(-self.offsets[::-1]),
+            shape=(k, m),
+        )
+
+    @property
+    def T(self) -> "DIA":
+        return self.transpose()
+
     @classmethod
     def from_dense(cls, mat) -> "DIA":
         mat = np.asarray(mat)
