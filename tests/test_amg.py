@@ -158,3 +158,23 @@ def test_chebyshev_preconditioned_cg_converges():
     b = jnp.asarray(rng.normal(size=(a.shape[0],)).astype(np.float32))
     x, _ = cg(a, b, M=m, tol=1e-7, maxiter=30)
     assert _resid(a, x, b) < 1e-5
+
+
+def test_factored_prolongator_matches_assembled(poisson):
+    a, m = poisson
+    lvl = m.levels[0]
+    assert lvl.p_fact is not None  # Poisson levels are banded -> DIA
+    rng = np.random.default_rng(5)
+    nc = m.levels[1].a.shape[0]
+    e = jnp.asarray(rng.normal(size=(nc,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(lvl.p_fact.mv(e)),
+        np.asarray(ts.spmm(lvl.p, e[:, None]))[:, 0],
+        rtol=1e-4, atol=1e-5,
+    )
+    r = jnp.asarray(rng.normal(size=(a.shape[0],)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(lvl.p_fact.rmv(r)),
+        np.asarray(ts.spmm(lvl.r, r[:, None]))[:, 0],
+        rtol=1e-4, atol=1e-5,
+    )

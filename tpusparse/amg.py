@@ -113,6 +113,37 @@ def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 15) -> float:
 
 
 @dataclass
+class _FactoredP:
+    """P = (I − ω·D⁻¹A)·P_t applied in FACTORED form.
+
+    The assembled smoothed prolongator is irregular (one XLA scalar
+    gather per nonzero, ~14 ns each — P/R matvecs were 74 of a 105 ms
+    V-cycle at 1M rows). But P_t is one weighted entry per row, and
+    D⁻¹A inherits A's bandedness, so on DIA levels:
+      P·e  = t − ω·(D⁻¹A)·t           with t = w ⊙ e[agg]   (ONE m-gather)
+      Pᵀ·r = segment_sum(w ⊙ y, agg)  with y = r − ω·(D⁻¹A)ᵀ·r  (ONE m-scatter)
+    — nnz-many gathers collapse to m-many, everything else streams."""
+
+    agg: jnp.ndarray      # (m,) int32 aggregate id per fine node
+    w: jnp.ndarray        # (m,) tentative weights (1/√aggregate size)
+    dinv_a: object        # DIA of D⁻¹A at the fine level
+    dinv_a_t: object      # its transpose
+    omega: float
+    shape: Tuple[int, int]  # (m, n_agg)
+
+    def mv(self, e):
+        t = (self.w if e.ndim == 1 else self.w[:, None]) * (
+            e[self.agg] if e.ndim == 1 else e[self.agg, :]
+        )
+        return t - self.omega * ops.dia_spmm(self.dinv_a, t)
+
+    def rmv(self, r):
+        y = r - self.omega * ops.dia_spmm(self.dinv_a_t, r)
+        y = (self.w if r.ndim == 1 else self.w[:, None]) * y
+        return jax.ops.segment_sum(y, self.agg, num_segments=self.shape[1])
+
+
+@dataclass
 class _Level:
     a: object                   # operator at this level (CSR, or DIA when
     #                             banded — the gather-free matvec path)
@@ -121,6 +152,7 @@ class _Level:
     rho: float = 0.0            # ρ(D⁻¹A) estimate (Chebyshev interval)
     p: Optional[CSR] = None     # prolongator: next-coarser -> this level
     r: Optional[CSR] = None     # restriction = pᵀ
+    p_fact: Optional["_FactoredP"] = None  # factored apply (DIA levels)
 
 
 @dataclass(eq=False)  # id-hashable so jax.jit(M) can cache on the instance
@@ -189,9 +221,14 @@ class AMGPreconditioner:
             return x if b.ndim == 2 else x[:, 0]
         x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth)
         r = b - ops.spmm(lvl.a, x, method=self.method)
-        rc = ops.spmm(lvl.r, r, method=self.method)
-        ec = self._cycle(i + 1, rc)
-        x = x + ops.spmm(lvl.p, ec, method=self.method)
+        if lvl.p_fact is not None:
+            rc = lvl.p_fact.rmv(r)
+            ec = self._cycle(i + 1, rc)
+            x = x + lvl.p_fact.mv(ec)
+        else:
+            rc = ops.spmm(lvl.r, r, method=self.method)
+            ec = self._cycle(i + 1, rc)
+            x = x + ops.spmm(lvl.p, ec, method=self.method)
         return self._smooth(lvl, b, x, self.postsmooth)
 
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -324,10 +361,26 @@ def smoothed_aggregation_setup(
                 f"(first missing at row {int(np.argmin(dvec != 0))})"
             )
         dinv = 1.0 / dvec
-        from tpusparse.linalg import _maybe_dia
+        # banded levels get the gather-free DIA matvec — built straight
+        # from the HOST triple (cur_d is already on host; routing through
+        # _maybe_dia would pull the device copy back through the tunnel,
+        # minutes when the tunnel is slow)
+        from tpusparse.ops import _dia_pattern
+        from tpusparse.types import DIA as _DIA
 
+        pat = _dia_pattern(cur_a, 128)
+        dia_host = None
+        if pat is not None and pat[0].size * n * 4 <= 256 * 1024 * 1024:
+            offs_d, slot_d, rows_d = pat
+            dia_host = np.zeros((offs_d.size, n), dtype)
+            dia_host[slot_d, rows_d] = cur_d.astype(dtype)
+            a_level = _DIA(
+                data=jnp.asarray(dia_host), offsets=offs_d, shape=(n, n)
+            )
+        else:
+            a_level = cur_a
         lvl = _Level(
-            a=_maybe_dia(cur_a),  # banded levels get the gather-free matvec
+            a=a_level,
             dinv=jnp.asarray(dinv.astype(dtype)),
             nnz=int(cur_ip[-1]),
         )
@@ -358,6 +411,38 @@ def smoothed_aggregation_setup(
             pt_ip, pt_ix, pt_d, ap_ip, ap_ix, omega * ap_d, n, n_agg
         )
         r_ip, r_ix, r_d = _h_transpose(p_ip, p_ix, p_d, n, n_agg)
+        if dia_host is not None:
+            # banded level: apply P in factored form (see _FactoredP);
+            # all array construction on host, one push per array
+            dinva_host = dia_host * dinv[None, :].astype(dtype)
+            offs_l = lvl.a.offsets
+            t_host = np.zeros_like(dinva_host)
+            for d_i in range(offs_l.size - 1, -1, -1):
+                off = int(offs_l[d_i])
+                t_lo = max(0, off)
+                t_hi = min(n, n + off)
+                if t_hi > t_lo:
+                    t_host[offs_l.size - 1 - d_i, t_lo:t_hi] = dinva_host[
+                        d_i, t_lo - off : t_hi - off
+                    ]
+            from tpusparse.types import DIA as _DIA2
+
+            lvl.p_fact = _FactoredP(
+                agg=jnp.asarray(agg.astype(_INT)),
+                w=jnp.asarray(pt_d.astype(dtype)),
+                dinv_a=_DIA2(
+                    data=jnp.asarray(dinva_host),
+                    offsets=offs_l,
+                    shape=(n, n),
+                ),
+                dinv_a_t=_DIA2(
+                    data=jnp.asarray(t_host),
+                    offsets=np.sort(-offs_l[::-1]),
+                    shape=(n, n),
+                ),
+                omega=float(omega),
+                shape=(n, n_agg),
+            )
         lvl.p = CSR(
             data=jnp.asarray(p_d.astype(dtype)),
             indices=p_ix, indptr=p_ip, shape=(n, n_agg),

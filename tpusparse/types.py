@@ -660,18 +660,33 @@ class DIA:
         A[j - off', j], stored at data[d, j - off']. Host-static slice
         arithmetic per diagonal; values ride pure jnp ops."""
         m, k = self.shape
+        concrete = not isinstance(self.data, jax.core.Tracer)
+        src = np.asarray(self.data) if concrete else self.data
         rows_new = []
         for d in range(self.noffsets - 1, -1, -1):
             off = int(self.offsets[d])
-            row = self.data[d]
-            t = jnp.zeros((k,), self.dtype)
+            row = src[d]
             lo = max(0, off)
             hi = min(k, m + off)
-            if hi > lo:
-                t = t.at[lo:hi].set(row[lo - off : hi - off])
+            if concrete:
+                # host path: eager per-diagonal TPU slices cost ~0.65 s of
+                # XLA compile EACH (measured 29 s for a 5-diagonal 1M-row
+                # transpose during AMG setup)
+                t = np.zeros((k,), src.dtype)
+                if hi > lo:
+                    t[lo:hi] = row[lo - off : hi - off]
+            else:
+                t = jnp.zeros((k,), self.dtype)
+                if hi > lo:
+                    t = t.at[lo:hi].set(row[lo - off : hi - off])
             rows_new.append(t)
+        data = (
+            jnp.asarray(np.stack(rows_new))
+            if concrete
+            else jnp.stack(rows_new)
+        )
         return DIA(
-            data=jnp.stack(rows_new),
+            data=data,
             offsets=np.sort(-self.offsets[::-1]),
             shape=(k, m),
         )
