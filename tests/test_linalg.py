@@ -379,3 +379,71 @@ def test_eigsh_lanczos_guards():
         linalg.eigsh_lanczos(a, which="XX")
     with pytest.raises(ValueError, match="at least"):
         linalg.eigsh_lanczos(a, k=30, iters=8)
+
+
+# ---- expm_multiply / block-Jacobi ----
+
+
+def test_expm_multiply_matches_scipy(rng):
+    import scipy.sparse.linalg as sla2
+
+    a = _spd(21, n=200, density=0.04)
+    a64 = _to_scipy64(a)
+    v = rng.normal(size=(200,)).astype(np.float32)
+    for t in (0.2, -0.7):
+        got = np.asarray(linalg.expm_multiply(a, jnp.asarray(v), t, krylov_dim=40))
+        ref = sla2.expm_multiply(t * a64, v.astype(np.float64))
+        np.testing.assert_allclose(
+            got, ref, rtol=1e-3, atol=1e-4 * np.abs(ref).max()
+        )
+    # t=0 is the identity
+    got0 = np.asarray(linalg.expm_multiply(a, jnp.asarray(v), 0.0))
+    np.testing.assert_allclose(got0, v, rtol=1e-4, atol=1e-5)
+    # jit parity
+    gj = jax.jit(lambda vv: linalg.expm_multiply(a, vv, 0.2, krylov_dim=40))(
+        jnp.asarray(v)
+    )
+    ge = linalg.expm_multiply(a, jnp.asarray(v), 0.2, krylov_dim=40)
+    np.testing.assert_allclose(np.asarray(gj), np.asarray(ge), rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="square"):
+        linalg.expm_multiply(random_csr(0, (8, 9), 0.5), jnp.zeros((9,)))
+
+
+def test_block_jacobi_is_exact_blockwise_inverse(rng):
+    # block-diagonal A: the preconditioner IS the inverse
+    import scipy.linalg as sl
+
+    blocks = [
+        rng.normal(size=(16, 16)).astype(np.float64) for _ in range(4)
+    ]
+    blocks = [b @ b.T + 16 * np.eye(16) for b in blocks]
+    import scipy.sparse as ssp2
+
+    a_sp = ssp2.block_diag(blocks, format="csr").astype(np.float32)
+    a_sp.sort_indices()
+    a = CSR.from_scipy(a_sp)
+    m = linalg.block_jacobi_preconditioner(a, block_size=16)
+    v = rng.normal(size=(64,)).astype(np.float32)
+    ref = np.linalg.solve(sl.block_diag(*blocks), v.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(m(jnp.asarray(v))), ref, rtol=1e-3, atol=1e-4)
+    # multivector + ragged final block (n not divisible by block_size)
+    vk = rng.normal(size=(64, 3)).astype(np.float32)
+    out = np.asarray(m(jnp.asarray(vk)))
+    for k in range(3):
+        np.testing.assert_allclose(
+            out[:, k], np.asarray(m(jnp.asarray(vk[:, k]))), rtol=1e-5
+        )
+    a27 = _spd(22, n=27)
+    m27 = linalg.block_jacobi_preconditioner(a27, block_size=8)
+    v27 = jnp.asarray(rng.normal(size=(27,)).astype(np.float32))
+    assert np.isfinite(np.asarray(m27(v27))).all()
+
+
+def test_block_jacobi_preconditioned_cg(rng):
+    a = _spd(23, n=160, density=0.06)
+    b = jnp.asarray(rng.normal(size=(160,)).astype(np.float32))
+    M = linalg.block_jacobi_preconditioner(a, block_size=20)
+    x, _ = linalg.cg(a, b, M=M, tol=1e-8, maxiter=200)
+    a64 = _to_scipy64(a)
+    r = a64 @ np.asarray(x, np.float64) - np.asarray(b, np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4
