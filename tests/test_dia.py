@@ -16,8 +16,7 @@ from tpusparse.types import DIA, csr_to_dia, dia_to_csr
 def _band(m, k, offs, seed=0):
     rng = np.random.default_rng(seed)
     mats = ssp.diags(
-        [rng.normal(size=min(m, k) + min(0, off) + min(0, (k - m - off if off > 0 else 0)) or 1)
-         if False else rng.normal(size=max(1, min(m + min(off, 0), k - max(off, 0))))
+        [rng.normal(size=max(1, min(m + min(off, 0), k - max(off, 0))))
          for off in offs],
         offs, shape=(m, k),
     ).tocsr()
@@ -193,3 +192,18 @@ def test_tridiagonal_solve(rng):
     np.testing.assert_allclose(np.asarray(x1), ref[:, 0], rtol=1e-3, atol=1e-4)
     with pytest.raises(ValueError):
         tridiagonal_solve(ts.random_csr(0, (512, 512), 0.02), jnp.zeros((512,)))
+
+
+def test_from_scipy_with_trimmed_trailing_columns():
+    # scipy trims dia data width to col.max()+1; conversion must clamp
+    m_sp = ssp.coo_matrix(([1.0], ([0], [0])), shape=(5, 5)).todia()
+    d = DIA.from_scipy(m_sp)
+    ref = np.zeros((5, 5))
+    ref[0, 0] = 1.0
+    np.testing.assert_allclose(np.asarray(d.to_dense()), ref)
+
+
+def test_dia_into_csr_only_api_raises_clearly():
+    d = csr_to_dia(ts.CSR.from_scipy(_band(8, 8, [0])))
+    with pytest.raises(TypeError, match="dia_to_csr"):
+        ts.sp_add(d, d)

@@ -447,3 +447,15 @@ def test_block_jacobi_preconditioned_cg(rng):
     a64 = _to_scipy64(a)
     r = a64 @ np.asarray(x, np.float64) - np.asarray(b, np.float64)
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
+def test_eigsh_lanczos_breakdown_returns_true_extremes():
+    # 2*I exhausts the Krylov space after one step; the decoupled zero
+    # block must not produce spurious 0 eigenvalues or NaN vectors
+    a = sp_add(linalg.speye(32), linalg.speye(32))
+    for which, sign in (("LA", 1.0), ("SA", 1.0), ("LM", 1.0)):
+        vals, vecs = linalg.eigsh_lanczos(a, k=2, which=which, iters=10)
+        assert float(np.asarray(vals)[0]) == pytest.approx(2.0, rel=1e-5)
+        # surplus slots (k beyond the Krylov dimension) are NaN, not 0
+        assert np.isnan(np.asarray(vals)[1])
+        assert np.isfinite(np.asarray(vecs)[:, 0]).all()

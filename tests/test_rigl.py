@@ -170,3 +170,16 @@ def test_end_to_end_sparse_training_loss_drops_and_topology_moves():
     pred_sparse = np.asarray(ts.spmm(a, xj.T)).T
     pred_dense = np.asarray(xj @ (params["kernel"] * masks["kernel"]))
     np.testing.assert_allclose(pred_sparse, pred_dense, rtol=1e-4, atol=1e-5)
+
+
+def test_rigl_ties_never_prune_strictly_stronger_weights():
+    # ties at the keep-threshold appear BEFORE a strictly larger weight:
+    # a positional trim would prune the 9 while keeping two tied 5s
+    mask = jnp.array([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32)
+    w = jnp.array([5.0, 5.0, 5.0, 9.0, 0, 0, 0, 0])
+    g = jnp.array([0.0, 0, 0, 0, 1.0, 1.0, 1.0, 2.0])
+    new = np.asarray(rigl_update(mask, w, g, 0.5))
+    assert int(new.sum()) == 4
+    assert new[3] == 1  # the strictly-strongest weight survives
+    assert new[7] == 1  # the strictly-highest gradient is grown
+    assert new[:3].sum() == 1  # exactly one of the tied 5s kept

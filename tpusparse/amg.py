@@ -370,7 +370,7 @@ def smoothed_aggregation_setup(
 
         pat = _dia_pattern(cur_a, 128)
         dia_host = None
-        if pat is not None and pat[0].size * n * 4 <= 256 * 1024 * 1024:
+        if pat is not None and pat[0].size * n * np.dtype(dtype).itemsize <= 256 * 1024 * 1024:
             offs_d, slot_d, rows_d = pat
             dia_host = np.zeros((offs_d.size, n), dtype)
             dia_host[slot_d, rows_d] = cur_d.astype(dtype)

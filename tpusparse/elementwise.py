@@ -29,6 +29,14 @@ _INT = np.int32
 
 
 def _host_pattern(a: CSR, opname: str):
+    from tpusparse.types import DIA
+
+    if isinstance(a, DIA):
+        raise TypeError(
+            f"{opname} takes CSR operands; convert with "
+            "tpusparse.dia_to_csr(a) (interop.from_scipy returns DIA "
+            "for scipy dia_matrix inputs)"
+        )
     try:
         return np.asarray(a.indptr), np.asarray(a.indices)
     except Exception as e:  # traced pattern

@@ -76,7 +76,8 @@ def _maybe_dia(a: CSR, max_offsets: int = 128) -> Operator:
     if pat is None:
         return a
     noff = int(pat[0].size)
-    if noff * a.shape[0] * 4 > 256 * 1024 * 1024:
+    itemsize = jnp.dtype(a.dtype).itemsize
+    if noff * a.shape[0] * itemsize > 256 * 1024 * 1024:
         return a
     return csr_to_dia(a, max_offsets=max_offsets)
 
@@ -678,8 +679,21 @@ def eigsh_lanczos(
             None,
             length=m,
         )
+        # Lanczos breakdown (Krylov space exhausted at step j): rows past
+        # the first zero beta carry alpha=0 and zero basis vectors — a
+        # decoupled zero block in T whose spurious 0 Ritz values would
+        # win the LA/SA selection (and normalize to NaN vectors). Push
+        # the invalid diagonal to a which-appropriate sentinel so valid
+        # Ritz pairs always rank first.
+        nzb = betas[: m - 1] > 0
+        j_valid = jnp.where(
+            jnp.all(nzb), m, jnp.argmin(nzb.astype(jnp.int32)) + 1
+        )
+        invalid = jnp.arange(m) >= j_valid
+        big = jnp.asarray(1e30, dt)
+        sentinel = {"LA": -big, "SA": big, "LM": 0.0}[which]
         T = (
-            jnp.diag(alphas)
+            jnp.diag(jnp.where(invalid, sentinel, alphas))
             + jnp.diag(betas[: m - 1], 1)
             + jnp.diag(betas[: m - 1], -1)
         )
@@ -691,8 +705,16 @@ def eigsh_lanczos(
         else:  # LM
             order = jnp.argsort(jnp.abs(theta))[::-1][:k]
         u = V[:m].T @ s[:, order]
-        u = u / jnp.linalg.norm(u, axis=0, keepdims=True)
-    return theta[order], u
+        u = u / jnp.maximum(
+            jnp.linalg.norm(u, axis=0, keepdims=True), 1e-30
+        )
+        # requesting more pairs than the Krylov space holds (invariant
+        # subspace hit before k steps) yields NaN in the surplus slots —
+        # an unmissable "no such eigenpair" signal, not a sentinel value
+        surplus = jnp.arange(k) >= j_valid
+        theta_out = jnp.where(surplus, jnp.nan, theta[order])
+        u = jnp.where(surplus[None, :], jnp.nan, u)
+    return theta_out, u
 
 
 def tridiagonal_solve(a: Operator, b: jnp.ndarray) -> jnp.ndarray:

@@ -139,21 +139,27 @@ def _rigl_update_static(mask, w, grad, drop_fraction, nnz):
     m = mask.reshape(-1)
     aw = jnp.abs(w.reshape(-1))
     ag = jnp.abs(grad.reshape(-1))
+    def _top_with_ties(scores, valid, count):
+        """Exactly-`count` strongest of `scores` over `valid`: everything
+        STRICTLY above the threshold always survives; only entries tied
+        AT the threshold are trimmed (positionally) to fill the budget —
+        a purely positional cumsum trim can prune strictly-stronger
+        entries that appear after a run of ties."""
+        masked = jnp.where(valid, scores, -jnp.inf)
+        thresh = jax.lax.top_k(masked, count)[0][-1]
+        above = (masked > thresh) & valid
+        tie = (masked == thresh) & valid
+        budget = count - jnp.sum(above)
+        return above | (tie & (jnp.cumsum(tie) <= budget))
+
     # keep the (nnz - k) strongest active weights
     keep_n = nnz - k
-    active_scores = jnp.where(m > 0, aw, -jnp.inf)
     if keep_n > 0:
-        keep_thresh = jax.lax.top_k(active_scores, keep_n)[0][-1]
-        kept = (active_scores >= keep_thresh) & (m > 0)
-        # top_k with ties can keep more than nnz-k; trim deterministically
-        kept = kept & (jnp.cumsum(kept) <= keep_n)
+        kept = _top_with_ties(aw, m > 0, keep_n)
     else:
         kept = jnp.zeros_like(m, bool)
     # grow the k highest-|grad| currently-inactive positions
-    grow_scores = jnp.where(m > 0, -jnp.inf, ag)
-    grow_thresh = jax.lax.top_k(grow_scores, k)[0][-1]
-    grown = (grow_scores >= grow_thresh) & (m == 0)
-    grown = grown & (jnp.cumsum(grown) <= k)
+    grown = _top_with_ties(ag, m == 0, k)
     return (kept | grown).astype(mask.dtype).reshape(mask.shape)
 
 

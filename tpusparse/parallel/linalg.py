@@ -19,11 +19,9 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
-from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
-from tpusparse.parallel.mesh import shard_map
-from tpusparse.parallel.spmm import RowShardedPlan, shard_plan_rows
+from tpusparse.parallel.spmm import RowShardedPlan, shard_plan_rows, sharded_spmm
 from tpusparse.types import CSR
 
 __all__ = ["make_sharded_matvec", "sharded_cg", "sharded_power_iteration"]
@@ -43,27 +41,13 @@ def make_sharded_matvec(
     m, k = rsp.shape
     if m != k:
         raise ValueError(f"sharded matvec needs square A, got {rsp.shape}")
-    blocks = rsp.pack_values(data)
-    bc = jnp.asarray(rsp.block_cols)
-    ns = jnp.asarray(rsp.nslots)
-
-    def body(bc_l, ns_l, blk_l, b_full):
-        plan = rsp.local_plan(bc_l[0], ns_l[0])
-        return tiled_spmm_pallas(plan, blk_l[0], b_full)[None]
-
-    sharded = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=P(axis),
-    )
+    blocks = rsp.pack_values(data)  # pack ONCE; every call reuses it
 
     def mv(v: jnp.ndarray) -> jnp.ndarray:
         vv = v if v.ndim == 2 else v[:, None]
         if vv.shape[0] != k:
             raise ValueError(f"matvec expects length-{k} vectors, got {v.shape}")
-        out = sharded(bc, ns, blocks, vv)
-        out = out.reshape(rsp.ndev * rsp.rows_per_dev, vv.shape[1])[:m]
+        out = sharded_spmm(rsp, data, vv, mesh, axis, packed=blocks)
         return out if v.ndim == 2 else out[:, 0]
 
     return mv

@@ -155,11 +155,17 @@ def sharded_spmm(
     b: jnp.ndarray,
     mesh: Mesh,
     axis: str = "model",
+    *,
+    packed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """C = A @ B with A row-partitioned over `axis`, B replicated."""
+    """C = A @ B with A row-partitioned over `axis`, B replicated.
+
+    Pass ``packed=rsp.pack_values(data)`` to skip the per-call value
+    pack (the inspect-once/multiply-many callers, e.g.
+    parallel.linalg.make_sharded_matvec, hold weights packed)."""
     m, k = rsp.shape
     n = b.shape[1]
-    blocks = rsp.pack_values(data)
+    blocks = rsp.pack_values(data) if packed is None else packed
 
     def body(bc, ns, blk, b_full):
         plan = rsp.local_plan(bc[0], ns[0])

@@ -724,9 +724,14 @@ class DIA:
         m, k = _static_shape(sp.shape)
         data = np.zeros((offs.size, m), sp.data.dtype)
         # scipy: data[d, j] = A[j - off, j]  ->  ours: data[d, i] = A[i, i+off]
+        # NOTE scipy trims its data width to col.max()+1 when trailing
+        # columns are empty — clamp j to what is actually stored
+        width = sp.data.shape[1]
         for out_d, d in enumerate(order):
             off = int(offs[d])
-            j = np.arange(max(0, off), min(k, m + off), dtype=np.int64)
+            j = np.arange(
+                max(0, off), min(k, m + off, width), dtype=np.int64
+            )
             data[out_d, j - off] = sp.data[d, j]
         return cls(data=jnp.asarray(data), offsets=offs[order], shape=(m, k))
 
