@@ -207,3 +207,24 @@ def test_dia_into_csr_only_api_raises_clearly():
     d = csr_to_dia(ts.CSR.from_scipy(_band(8, 8, [0])))
     with pytest.raises(TypeError, match="dia_to_csr"):
         ts.sp_add(d, d)
+
+
+def test_dia_report_and_profiling_utils():
+    from tpusparse.utils.profiling import kernel_report, measured_roofline
+
+    d = csr_to_dia(ts.CSR.from_scipy(_band(64, 64, [-1, 0, 1], seed=7)))
+    r = kernel_report(d, n_cols=4)
+    assert r["format"] == "dia" and r["bound"] == "memory"
+    assert r["noffsets"] == 3 and r["bandwidth"] == 1
+    assert r["nnz"] == 3 * 64 - 2
+    assert r["projected_time_s"] > 0
+    mr = measured_roofline(d, time_fn=lambda: 1e-3, n_cols=4)
+    assert mr["achieved_nnz_per_s"] == pytest.approx(r["nnz"] * 4 / 1e-3)
+
+
+def test_dsmm_with_dia_operand(rng):
+    d = csr_to_dia(ts.CSR.from_scipy(_band(40, 48, [-2, 0, 3], seed=8)))
+    x = jnp.asarray(rng.normal(size=(5, 40)).astype(np.float32))
+    out = ts.dsmm(x, d)
+    ref = np.asarray(x, np.float64) @ d.to_scipy().toarray()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)

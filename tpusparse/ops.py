@@ -664,7 +664,9 @@ def dsmm(
             f"x shape {x.shape} incompatible with right sparse operand "
             f"{a.shape} (need x.shape[-1] == {a.shape[0]})"
         )
-    at = transpose_csr(a)
+    from tpusparse.types import DIA
+
+    at = a.transpose() if isinstance(a, DIA) else transpose_csr(a)
     if x.ndim == 1:
         return spmm(at, x, method=method, blocksize=blocksize)
     out = spmm(

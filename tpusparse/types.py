@@ -716,6 +716,40 @@ class DIA:
             out = out.at[ii, ii + int(off)].set(self.data[d][jnp.asarray(mask[d])])
         return out
 
+    def report(self, n_cols: int = 256, dtype_bytes: int = 4) -> dict:
+        """Stats + projected roofline, same contract as `Plan.report` so
+        `utils.profiling.kernel_report`/`measured_roofline` accept DIA.
+
+        The kernel is pure streaming (no gathers): per diagonal it reads
+        the (m,) value row and an (m, n) shifted slab of B, writes the
+        (m, n) output once — memory-bound by construction.
+        """
+        from tpusparse.plan import _ROOFLINE
+
+        m, k = self.shape
+        stored = self.noffsets * m
+        nnz = int(self._valid_mask().sum())
+        bytes_moved = float(
+            dtype_bytes * (stored + stored * n_cols + m * n_cols)
+        )
+        t = bytes_moved / _ROOFLINE["hbm_bandwidth"]
+        useful = 2.0 * nnz * n_cols
+        return {
+            "format": "dia",
+            "noffsets": float(self.noffsets),
+            "bandwidth": float(self.bandwidth),
+            "nnz": float(nnz),
+            "density": nnz / float(m * k),
+            "pad_overhead": stored / max(nnz, 1) - 1.0,
+            "useful_flops": useful,
+            "bytes_moved": bytes_moved,
+            "arithmetic_intensity": useful / bytes_moved,
+            "projected_time_s": t,
+            "projected_gflops_effective": useful / t / 1e9,
+            "projected_nnz_per_s": nnz * n_cols / t,
+            "bound": "memory",
+        }
+
     @classmethod
     def from_scipy(cls, sp) -> "DIA":
         sp = sp.todia()
