@@ -459,3 +459,136 @@ def test_eigsh_lanczos_breakdown_returns_true_extremes():
         # surplus slots (k beyond the Krylov dimension) are NaN, not 0
         assert np.isnan(np.asarray(vals)[1])
         assert np.isfinite(np.asarray(vecs)[:, 0]).all()
+
+
+def test_svds_matches_scipy():
+    m, n, k = 120, 80, 5
+    A = ssp.random(m, n, density=0.08, random_state=3, format="csr", dtype=np.float64)
+    A.data += 1.0
+    a = CSR.from_scipy(A.astype(np.float32).tocsr())
+    u, s, vt = linalg.svds(a, k=k, iters=40)
+    s_ref = np.sort(sla.svds(A, k=k, return_singular_vectors=False))[::-1]
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-4)
+    # triplets reconstruct the best rank-k approximation
+    dense = A.toarray()
+    ur, sr, vtr = np.linalg.svd(dense)
+    best = ur[:, :k] @ np.diag(sr[:k]) @ vtr[:k, :]
+    recon = np.asarray(u, np.float64) @ np.diag(np.asarray(s, np.float64)) @ np.asarray(vt, np.float64)
+    assert np.linalg.norm(recon - best) / np.linalg.norm(best) < 1e-4
+    # bases are orthonormal
+    np.testing.assert_allclose(np.asarray(u).T @ np.asarray(u), np.eye(k), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vt) @ np.asarray(vt).T, np.eye(k), atol=1e-4)
+
+
+def test_svds_tall_and_wide_orientations():
+    for shape in ((90, 40), (40, 90)):
+        A = ssp.random(*shape, density=0.1, random_state=9, format="csr", dtype=np.float64)
+        A.data += 0.5
+        a = CSR.from_scipy(A.astype(np.float32).tocsr())
+        _, s, _ = linalg.svds(a, k=3, iters=36)
+        s_ref = np.sort(sla.svds(A, k=3, return_singular_vectors=False))[::-1]
+        np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-4)
+
+
+def test_svds_rank_deficient_surplus_is_nan():
+    # rank-2 matrix: asking for 4 triplets must flag the surplus as NaN
+    d = np.zeros((30, 20), np.float32)
+    d[2, 3] = 5.0
+    d[7, 11] = 3.0
+    a = CSR.from_dense(jnp.asarray(d))
+    _, s, _ = linalg.svds(a, k=4, iters=16)
+    s = np.asarray(s)
+    np.testing.assert_allclose(s[:2], [5.0, 3.0], rtol=1e-5)
+    assert np.isnan(s[2:]).all()
+
+
+def test_svds_guards():
+    a = random_csr(0, (16, 12), 0.3)
+    with pytest.raises(ValueError, match="k="):
+        linalg.svds(a, k=10, iters=4)
+
+
+def test_lsqr_overdetermined_matches_lstsq(rng):
+    m, n = 150, 60
+    B = ssp.random(m, n, density=0.1, random_state=5, format="csr", dtype=np.float64)
+    B = (B + ssp.eye(m, n) * 2.0).tocsr()
+    b = rng.normal(size=(m,)).astype(np.float64)
+    x_ref = np.linalg.lstsq(B.toarray(), b, rcond=None)[0]
+    x = linalg.lsqr(
+        CSR.from_scipy(B.astype(np.float32).tocsr()),
+        jnp.asarray(b, jnp.float32),
+        iters=80,
+    )
+    np.testing.assert_allclose(np.asarray(x, np.float64), x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_lsqr_damped_matches_tikhonov(rng):
+    m, n, damp = 100, 40, 0.5
+    B = ssp.random(m, n, density=0.12, random_state=6, format="csr", dtype=np.float64)
+    B = (B + ssp.eye(m, n)).tocsr()
+    b = rng.normal(size=(m,)).astype(np.float64)
+    d = B.toarray()
+    x_ref = np.linalg.solve(d.T @ d + damp**2 * np.eye(n), d.T @ b)
+    x = linalg.lsqr(
+        CSR.from_scipy(B.astype(np.float32).tocsr()),
+        jnp.asarray(b, jnp.float32),
+        damp=damp,
+        iters=80,
+    )
+    np.testing.assert_allclose(np.asarray(x, np.float64), x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_lsqr_square_consistent_and_jit(rng):
+    a = _spd(31, n=64)
+    x_true = rng.normal(size=(64,)).astype(np.float32)
+    b = jnp.asarray(_to_scipy64(a) @ x_true.astype(np.float64), jnp.float32)
+    x = jax.jit(lambda bb: linalg.lsqr(a, bb, iters=120))(b)
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-2, atol=1e-3)
+    with pytest.raises(ValueError, match="b must be"):
+        linalg.lsqr(a, jnp.zeros((3,)))
+
+
+def test_minres_symmetric_indefinite(rng):
+    n = 100
+    C = ssp.random(n, n, density=0.05, random_state=7, format="csr", dtype=np.float64)
+    S = ((C + C.T) * 0.5 + ssp.diags(
+        np.concatenate([np.full(n // 2, 3.0), np.full(n - n // 2, -3.0)])
+    )).tocsr()
+    b = rng.normal(size=(n,)).astype(np.float64)
+    x_ref = np.linalg.solve(S.toarray(), b)
+    x = linalg.minres(
+        CSR.from_scipy(S.astype(np.float32).tocsr()),
+        jnp.asarray(b, jnp.float32),
+        iters=200,
+    )
+    np.testing.assert_allclose(np.asarray(x, np.float64), x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_minres_preconditioned_under_jit(rng):
+    # indefinite diagonal: Jacobi is NOT SPD — use |diag|^-1, which is
+    n = 100
+    C = ssp.random(n, n, density=0.05, random_state=7, format="csr", dtype=np.float64)
+    S = ((C + C.T) * 0.5 + ssp.diags(
+        np.concatenate([np.full(n // 2, 3.0), np.full(n - n // 2, -3.0)])
+    )).tocsr()
+    b = rng.normal(size=(n,)).astype(np.float64)
+    x_ref = np.linalg.solve(S.toarray(), b)
+    a = CSR.from_scipy(S.astype(np.float32).tocsr())
+    dinv = jnp.asarray(1.0 / np.abs(S.diagonal()), jnp.float32)
+    x = jax.jit(
+        lambda bb: linalg.minres(a, bb, M=lambda v: v * dinv, iters=200)
+    )(jnp.asarray(b, jnp.float32))
+    np.testing.assert_allclose(np.asarray(x, np.float64), x_ref, rtol=1e-3, atol=1e-4)
+    with pytest.raises(ValueError, match="square"):
+        linalg.minres(random_csr(0, (8, 9), 0.5), jnp.zeros((9,)))
+
+
+def test_minres_matches_cg_on_spd(rng):
+    # on an SPD system both Krylov methods find the same solution
+    a = _spd(41, n=96)
+    b = jnp.asarray(rng.normal(size=(96,)).astype(np.float32))
+    x_mr = linalg.minres(a, b, iters=150)
+    x_cg, _ = linalg.cg(a, b, tol=1e-9, maxiter=300)
+    np.testing.assert_allclose(
+        np.asarray(x_mr), np.asarray(x_cg), rtol=1e-3, atol=1e-4
+    )

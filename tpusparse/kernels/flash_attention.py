@@ -12,6 +12,11 @@ matmul → softmax → matmul.
 The backward is fused too: the forward saves only the per-row
 logsumexp (O(seq)), and two Pallas kernels recompute score tiles on the
 fly to produce dQ and dK/dV — O(seq) memory end-to-end for training.
+
+Every in-kernel dot pins precision=DEFAULT explicitly: an ambient
+jax.default_matmul_precision("highest") context (e.g. around a caller's
+Krylov loop) otherwise leaks into the kernel, and Mosaic cannot lower
+fp32 contract precision onto bf16 operands ("Bad lhs type").
 """
 
 from __future__ import annotations
@@ -65,6 +70,7 @@ def _flash_kernel(
             jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             * sm_scale
         )  # (bq, bk)
@@ -91,7 +97,8 @@ def _flash_kernel(
         corr = jnp.exp(m_prev - m_new)  # (bq, 1)
         l_new = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[:] = acc_scr[:] * corr + jnp.dot(
-            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT
         )
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -236,7 +243,8 @@ def flash_attention(
 
 def _reference_attention(q, k, v, causal, sm_scale):
     s = jnp.einsum(
-        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT
     ) * sm_scale
     if causal:
         qlen = q.shape[-2]
@@ -246,6 +254,7 @@ def _reference_attention(q, k, v, causal, sm_scale):
     return jnp.einsum(
         "...qk,...kd->...qd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
     ).astype(q.dtype)
 
 
@@ -256,7 +265,8 @@ def _score_tile(q, k, lse, qi, ki, bq, bk, kv_len, sm_scale, causal, offs):
     lse: (bq, 1)."""
     s = (
         jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT
         )
         * sm_scale
     )
@@ -293,10 +303,12 @@ def _flash_dq_kernel(
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
         )
         ds = p * (dp - delta_ref[0, :, :1]) * sm_scale
         acc_scr[:] += jnp.dot(
-            ds.astype(k_ref.dtype), k_ref[0], preferred_element_type=jnp.float32
+            ds.astype(k_ref.dtype), k_ref[0], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT
         )
 
     if causal:
@@ -340,15 +352,18 @@ def _flash_dkv_kernel(
         dv_scr[:] += jax.lax.dot_general(
             pt, do_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
         )
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
         )
         ds = (p * (dp - delta_ref[0, :, :1]) * sm_scale).astype(q_ref.dtype)
         dk_scr[:] += jax.lax.dot_general(
             ds, q_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
         )
 
     if causal:

@@ -31,14 +31,28 @@ def dot(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:
     `precision` is a resolved value from config.pallas_precision:
     'bf16x3' (manual 3-pass), or a lax.Precision for DEFAULT/HIGHEST.
     """
+    # The bf16 passes must pin precision=DEFAULT explicitly: an ambient
+    # jax.default_matmul_precision("highest") context (the Krylov solvers
+    # set one around their whole scan) otherwise leaks in, and Mosaic
+    # cannot lower fp32 contract precision on bf16 operands ("Bad lhs
+    # type"). bf16×bf16 is exact in one MXU pass, so DEFAULT loses nothing.
     if precision == "bf16x3":
         if a.dtype != jnp.float32 or b.dtype != jnp.float32:
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+            return jnp.dot(
+                a,
+                b,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
         a_hi, a_lo = _split_bf16(a)
         b_hi, b_lo = _split_bf16(b)
-        acc = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-        acc += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-        acc += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = jnp.dot(a_hi, b_hi, **kw)
+        acc += jnp.dot(a_hi, b_lo, **kw)
+        acc += jnp.dot(a_lo, b_hi, **kw)
         return acc
     return jnp.dot(
         a, b, preferred_element_type=jnp.float32, precision=precision
@@ -51,21 +65,17 @@ _NT_DIMS = (((1,), (1,)), ((), ()))
 def dot_nt(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:
     """a @ bᵀ (contraction on the last axis of both) with fp32 accumulation."""
     if precision == "bf16x3":
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # see dot(): Mosaic can't
+        )  # lower an ambient 'highest' context onto bf16 operands
         if a.dtype != jnp.float32 or b.dtype != jnp.float32:
-            return jax.lax.dot_general(
-                a, b, _NT_DIMS, preferred_element_type=jnp.float32
-            )
+            return jax.lax.dot_general(a, b, _NT_DIMS, **kw)
         a_hi, a_lo = _split_bf16(a)
         b_hi, b_lo = _split_bf16(b)
-        acc = jax.lax.dot_general(
-            a_hi, b_hi, _NT_DIMS, preferred_element_type=jnp.float32
-        )
-        acc += jax.lax.dot_general(
-            a_hi, b_lo, _NT_DIMS, preferred_element_type=jnp.float32
-        )
-        acc += jax.lax.dot_general(
-            a_lo, b_hi, _NT_DIMS, preferred_element_type=jnp.float32
-        )
+        acc = jax.lax.dot_general(a_hi, b_hi, _NT_DIMS, **kw)
+        acc += jax.lax.dot_general(a_hi, b_lo, _NT_DIMS, **kw)
+        acc += jax.lax.dot_general(a_lo, b_hi, _NT_DIMS, **kw)
         return acc
     return jax.lax.dot_general(
         a, b, _NT_DIMS, preferred_element_type=jnp.float32, precision=precision

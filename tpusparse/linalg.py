@@ -869,3 +869,279 @@ def expm_multiply(
         evals, evecs = jnp.linalg.eigh(T)
         exp_t_e1 = evecs @ (jnp.exp(t * evals) * evecs[0, :])
         return (nrm * (V[:m].T @ exp_t_e1)).astype(v.dtype)
+
+
+def svds(
+    a: Operator,
+    k: int = 6,
+    *,
+    iters: Optional[int] = None,
+    seed: int = 0,
+    method: str = "auto",
+):
+    """Top-k singular triplets of (rectangular) sparse A by
+    Golub–Kahan–Lanczos bidiagonalization.
+
+    scipy.sparse.linalg.svds' surface on the framework's SpMM: s
+    bidiagonalization steps build orthonormal bases U (left) and V
+    (right) with FULL reorthogonalization on both (two classical
+    Gram-Schmidt passes per side — the fp32 analog of eigsh_lanczos'
+    reorth), one A·v and one Aᵀ·u per step through plan-cached
+    `ops.spmm` (the Aᵀ pattern comes from the fingerprint-cached
+    `ops.transpose_csr`, so repeated calls on one matrix share both
+    plans). The small (s, s) upper-bidiagonal B is SVD'd densely and
+    Ritz triplets lifted: A ≈ (U·P) Σ (V·Q)ᵀ.
+
+    Returns (u (m, k), s (k,), vt (k, n)) with singular values in
+    DESCENDING order (note scipy returns ascending). If the Krylov
+    space exhausts before k triplets exist (rank(A) < k), the surplus
+    slots are NaN — the same unmissable "no such pair" signal as
+    `eigsh_lanczos`.
+    """
+    csr = _as_csr(a)
+    if not isinstance(csr, CSR):
+        raise TypeError("svds needs a sparse operand (CSR/BSR/COO/DIA)")
+    m_rows, n_cols = csr.shape
+    s_steps = min(
+        min(m_rows, n_cols), iters if iters is not None else max(2 * k + 8, 24)
+    )
+    if k > s_steps:
+        raise ValueError(f"k={k} needs at least k GKL steps, got {s_steps}")
+    mv = partial(ops.spmm, csr, method=method)
+    csr_t = ops.transpose_csr(csr)
+    mvt = partial(ops.spmm, csr_t, method=method)
+    dt = csr.dtype
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n_cols,), dtype=dt)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def step(carry, _):
+        U, V, alphas, betas, j = carry
+        # u_j: project A v_j off ALL previous left vectors (the beta_{j-1}
+        # u_{j-1} recurrence term is subsumed by full reorth)
+        u = mv(V[j])
+        for _ in range(2):
+            u = u - U.T @ (U @ u)
+        alpha = jnp.linalg.norm(u)
+        ok_a = alpha > 1e-7
+        u = jnp.where(ok_a, u / jnp.where(ok_a, alpha, 1.0), jnp.zeros_like(u))
+        U = U.at[j].set(u)
+        # v_{j+1}: project A^T u_j off all previous right vectors
+        w = mvt(u)
+        for _ in range(2):
+            w = w - V.T @ (V @ w)
+        beta = jnp.linalg.norm(w)
+        ok_b = beta > 1e-7
+        w = jnp.where(ok_b, w / jnp.where(ok_b, beta, 1.0), jnp.zeros_like(w))
+        V = V.at[j + 1].set(w)
+        alphas = alphas.at[j].set(jnp.where(ok_a, alpha, 0.0))
+        betas = betas.at[j].set(jnp.where(ok_b, beta, 0.0))
+        return (U, V, alphas, betas, j + 1), None
+
+    U0 = jnp.zeros((s_steps, m_rows), dt)
+    V0 = jnp.zeros((s_steps + 1, n_cols), dt).at[0].set(v0)
+    with jax.default_matmul_precision("highest"):
+        (U, V, alphas, betas, _), _ = jax.lax.scan(
+            step,
+            (U0, V0, jnp.zeros((s_steps,), dt), jnp.zeros((s_steps,), dt), 0),
+            None,
+            length=s_steps,
+        )
+        # breakdown: steps past the first zero alpha carry zero basis rows
+        # and a zero B block, whose sigma=0 Ritz values sort LAST in the
+        # descending SVD — only surplus slots (>= #valid) need masking
+        nza = alphas > 0
+        j_valid = jnp.where(
+            jnp.all(nza), s_steps, jnp.argmin(nza.astype(jnp.int32))
+        )
+        B = jnp.diag(alphas) + jnp.diag(betas[: s_steps - 1], 1)
+        P, sigma, QT = jnp.linalg.svd(B)  # descending
+        u_out = U.T @ P[:, :k]
+        v_out = V[:s_steps].T @ QT[:k, :].T
+        u_out = u_out / jnp.maximum(
+            jnp.linalg.norm(u_out, axis=0, keepdims=True), 1e-30
+        )
+        v_out = v_out / jnp.maximum(
+            jnp.linalg.norm(v_out, axis=0, keepdims=True), 1e-30
+        )
+        surplus = jnp.arange(k) >= j_valid
+        sigma_out = jnp.where(surplus, jnp.nan, sigma[:k])
+        u_out = jnp.where(surplus[None, :], jnp.nan, u_out)
+        v_out = jnp.where(surplus[None, :], jnp.nan, v_out)
+    return u_out, sigma_out, v_out.T
+
+
+def lsqr(
+    a: Operator,
+    b: jnp.ndarray,
+    *,
+    damp: float = 0.0,
+    iters: int = 50,
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Least-squares solve min ‖A x − b‖² (+ damp²‖x‖²) by LSQR.
+
+    Paige–Saunders LSQR (scipy.sparse.linalg.lsqr's algorithm): GKL
+    bidiagonalization of (A, b) with QR-by-Givens applied on the fly —
+    mathematically CG on the normal equations but numerically far
+    better conditioned. Rectangular A welcome; one A·v plus one Aᵀ·u
+    per iteration through plan-cached `ops.spmm` (transpose pattern
+    fingerprint-cached). Fixed `iters` in a `lax.scan` so the solve is
+    one compiled loop — jit-compatible, no host sync per step.
+
+    ``damp`` adds Tikhonov regularization exactly as scipy's lsqr.
+    Returns x (n,).
+    """
+    csr = _as_csr(a)
+    if not isinstance(csr, CSR):
+        raise TypeError("lsqr needs a sparse operand (CSR/BSR/COO/DIA)")
+    m_rows, n_cols = csr.shape
+    if b.shape != (m_rows,):
+        raise ValueError(f"b must be ({m_rows},), got {b.shape}")
+    mv = partial(ops.spmm, csr, method=method)
+    csr_t = ops.transpose_csr(csr)
+    mvt = partial(ops.spmm, csr_t, method=method)
+    dt = jnp.promote_types(csr.dtype, b.dtype)
+    damp = jnp.asarray(damp, dt)
+    eps = jnp.asarray(1e-30, dt)
+
+    beta1 = jnp.linalg.norm(b)
+    u = b.astype(dt) / jnp.maximum(beta1, eps)
+    av = mvt(u)
+    alpha1 = jnp.linalg.norm(av)
+    v = av / jnp.maximum(alpha1, eps)
+
+    def step(carry, _):
+        x, w, u, v, alpha, beta, phibar, rhobar = carry
+        # continue the bidiagonalization
+        uu = mv(v) - alpha * u
+        beta = jnp.linalg.norm(uu)
+        u = uu / jnp.maximum(beta, eps)
+        vv = mvt(u) - beta * v
+        alpha = jnp.linalg.norm(vv)
+        v = vv / jnp.maximum(alpha, eps)
+        # eliminate the damping parameter (scipy lsqr's psi rotation)
+        rhobar1 = jnp.sqrt(rhobar**2 + damp**2)
+        cs1 = rhobar / jnp.maximum(rhobar1, eps)
+        phibar = cs1 * phibar
+        # plane rotation to zero the subdiagonal of the bidiagonal
+        rho = jnp.sqrt(rhobar1**2 + beta**2)
+        cs = rhobar1 / jnp.maximum(rho, eps)
+        sn = beta / jnp.maximum(rho, eps)
+        theta = sn * alpha
+        rhobar = -cs * alpha
+        phi = cs * phibar
+        phibar = sn * phibar
+        x = x + (phi / jnp.maximum(rho, eps)) * w
+        w = v - (theta / jnp.maximum(rho, eps)) * w
+        return (x, w, u, v, alpha, beta, phibar, rhobar), None
+
+    x0 = jnp.zeros((n_cols,), dt)
+    with jax.default_matmul_precision("highest"):
+        (x, *_), _ = jax.lax.scan(
+            step,
+            (x0, v, u, v, alpha1, jnp.asarray(0.0, dt), beta1, alpha1),
+            None,
+            length=int(iters),
+        )
+    return x.astype(b.dtype)
+
+
+def minres(
+    a: Operator,
+    b: jnp.ndarray,
+    *,
+    M: Optional[Callable] = None,
+    iters: int = 100,
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Solve A x = b for SYMMETRIC (possibly indefinite) A by MINRES.
+
+    The solver jax.scipy.sparse.linalg is missing: CG requires positive
+    definiteness, GMRES pays O(restart·n) basis storage — MINRES handles
+    indefinite symmetric systems (saddle points, shifted Laplacians,
+    interior eigenproblems) with a 3-term Lanczos recurrence and two
+    Givens rotations per step. One SpMM matvec per iteration; optional
+    preconditioner ``M`` (must be symmetric positive definite, applied
+    as a callable v ↦ M⁻¹v — `jacobi_preconditioner`/`ic_preconditioner`
+    fit). Fixed `iters` in `lax.scan`; jit-compatible.
+    """
+    mv = as_matvec(a, method)
+    if not callable(a) or isinstance(a, (CSR, BSR, COO, DIA)):
+        csr = _as_csr(a)
+        if csr.shape[0] != csr.shape[1]:
+            raise ValueError(f"minres needs square A, got {csr.shape}")
+    Minv = M if M is not None else (lambda x: x)
+    dt = b.dtype
+    eps = jnp.asarray(1e-30, dt)
+
+    r1 = b
+    y = Minv(b)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.vdot(r1, y), 0.0))
+
+    def step(carry, _):
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2) = carry
+        v = y / jnp.maximum(beta, eps)
+        yy = mv(v)
+        # standard 3-term Lanczos with the previous vector removed
+        # (scalar where: beta/oldb would be inf at the first step where
+        # oldb == 0 — select the factor, not the vector, so inf never
+        # multiplies the zero vector into NaN)
+        factor = jnp.where(oldb > 0, beta / jnp.maximum(oldb, eps), 0.0)
+        yy = yy - factor * r1
+        alfa = jnp.vdot(v, yy)
+        yy = yy - (alfa / jnp.maximum(beta, eps)) * r2
+        r1n, r2n = r2, yy
+        yn = Minv(yy)
+        oldbn = beta
+        betan = jnp.sqrt(jnp.maximum(jnp.vdot(r2n, yn), 0.0))
+        # apply previous rotation
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * betan
+        dbar_n = -cs * betan
+        # next rotation to annihilate betan
+        gamma = jnp.maximum(jnp.sqrt(gbar**2 + betan**2), eps)
+        cs_n = gbar / gamma
+        sn_n = betan / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+        w1 = w2
+        w2n = w
+        wn = (v - oldeps * w1 - delta * w2n) / gamma
+        xn = x + phi * wn
+        return (
+            xn,
+            r1n,
+            r2n,
+            yn,
+            oldbn,
+            betan,
+            dbar_n,
+            epsln_n,
+            phibar_n,
+            cs_n,
+            sn_n,
+            wn,
+            w2n,
+        ), None
+
+    z = jnp.zeros_like(b)
+    init = (
+        z,  # x
+        r1.astype(dt),
+        r1.astype(dt),  # r2
+        y.astype(dt),
+        jnp.asarray(0.0, dt),  # oldb
+        beta1.astype(dt),
+        jnp.asarray(0.0, dt),  # dbar
+        jnp.asarray(0.0, dt),  # epsln
+        beta1.astype(dt),  # phibar
+        jnp.asarray(-1.0, dt),  # cs
+        jnp.asarray(0.0, dt),  # sn
+        z,  # w
+        z,  # w2
+    )
+    with jax.default_matmul_precision("highest"):
+        (x, *_), _ = jax.lax.scan(step, init, None, length=int(iters))
+    return x
