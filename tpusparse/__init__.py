@@ -87,6 +87,8 @@ from tpusparse import amg
 from tpusparse.amg import amg_preconditioner, smoothed_aggregation_setup
 from tpusparse.linalg import speye
 from tpusparse import patch
+from tpusparse import quant
+from tpusparse.quant import QuantizedMatrix
 from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_params
 
 __version__ = "0.1.0"
@@ -153,6 +155,8 @@ __all__ = [
     "linalg",
     "speye",
     "patch",
+    "quant",
+    "QuantizedMatrix",
     "PatchedDense",
     "patch_flax_dense",
     "sparsify_dense_params",
