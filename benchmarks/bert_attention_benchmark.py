@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 
-from common import base_parser, get_logger, log_and_print, setup_platform
+from common import artifact_path, base_parser, get_logger, log_and_print, setup_platform
 
 
 def bench_layer(seq, batch, seed, attention="dense", window=64):
@@ -62,6 +62,8 @@ def bench_layer(seq, batch, seed, attention="dense", window=64):
 def main():
     p = base_parser("BERT-base attention layer step time")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--long-seq", action="store_true",
+                   help="add the seq-4096 dense/flash/local/bigbird grid")
     args = p.parse_args()
     logger = get_logger("bert", "bert_attention_benchmark.log")
     setup_platform(cpu=args.cpu)
@@ -78,7 +80,21 @@ def main():
                 f"seq {seq} batch {batch} [{attention}]: fwd {r['fwd_ms']:.3f} ms, "
                 f"train step {r['train_step_ms']:.3f} ms",
             )
-    with open("bert_attention_results.json", "w") as f:
+    if args.long_seq:
+        # long-context comparison at seq 4096 (r2 VERDICT item 2's gate:
+        # bigbird within ~2x of local and >=5x over dense); 'sparse'
+        # (the SDDMM path) is excluded — it is the ~90x-slower general-
+        # pattern engine bigbird replaces
+        for attention in ("dense", "flash", "local", "bigbird"):
+            r = bench_layer(4096, max(args.batch // 4, 1), args.seed,
+                            attention=attention, window=128)
+            results.append(r)
+            log_and_print(
+                logger,
+                f"seq 4096 [{attention}]: fwd {r['fwd_ms']:.3f} ms, "
+                f"train step {r['train_step_ms']:.3f} ms",
+            )
+    with open(artifact_path("bert_attention_results.json"), "w") as f:
         json.dump(results, f, indent=2)
 
 

@@ -22,7 +22,16 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 
+def artifact_path(filename: str) -> str:
+    """Anchor benchmark artifacts (logs, result JSON) in benchmarks/
+    regardless of the CWD the script was launched from."""
+    if os.path.isabs(filename):
+        return filename
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), filename)
+
+
 def get_logger(name: str, log_file: str) -> logging.Logger:
+    log_file = artifact_path(log_file)
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
     logger.handlers.clear()

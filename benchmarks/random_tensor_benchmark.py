@@ -18,6 +18,7 @@ Usage: python benchmarks/random_tensor_benchmark.py [--full] [--n-cols 256]
 from __future__ import annotations
 
 import json
+import os
 
 from common import base_parser, get_logger, log_and_print, setup_platform
 
@@ -99,8 +100,24 @@ def time_contenders(dim, n_cols, sparsity, structured, seed):
 def main():
     p = base_parser("dim × sparsity SpMM sweep")
     p.add_argument("--n-cols", type=int, default=256)
+    p.add_argument(
+        "--mtx", nargs="*", default=None,
+        help="run on real matrices instead of the synthetic grid "
+        "(delegates to realmatrix_benchmark; accepts .mtx[.gz] paths or "
+        "tpusparse.utils.matrices catalog names)",
+    )
     args = p.parse_args()
-    logger = get_logger("sweep", "random_tensor_benchmark.log")
+    if args.mtx is not None:
+        import realmatrix_benchmark
+        import sys
+
+        sys.argv = [sys.argv[0]] + (["--mtx"] + args.mtx if args.mtx else []) \
+            + (["--full"] if args.full else []) \
+            + (["--cpu"] if args.cpu else []) \
+            + ["--n-cols", str(args.n_cols), "--seed", str(args.seed)]
+        return realmatrix_benchmark.main()
+    here = os.path.dirname(os.path.abspath(__file__))
+    logger = get_logger("sweep", os.path.join(here, "random_tensor_benchmark.log"))
     setup_platform(cpu=args.cpu)
 
     if args.full:
@@ -129,9 +146,9 @@ def main():
                     )
                     + f"  winner={best[1][:-3]}",
                 )
-    with open("random_tensor_results.json", "w") as f:
+    with open(os.path.join(here, "random_tensor_results.json"), "w") as f:
         json.dump(all_results, f, indent=2)
-    log_and_print(logger, f"wrote {len(all_results)} cells to random_tensor_results.json")
+    log_and_print(logger, f"wrote {len(all_results)} cells to benchmarks/random_tensor_results.json")
 
 
 if __name__ == "__main__":

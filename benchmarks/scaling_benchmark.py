@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import sys
 
-from common import base_parser, get_logger, log_and_print, setup_platform
+from common import artifact_path, base_parser, get_logger, log_and_print, setup_platform
 
 
 def bench_ndev(a, n_cols, ndev, mode, seed):
@@ -62,6 +62,13 @@ def main():
     p.add_argument("--dim", type=int, default=None)
     p.add_argument("--n-cols", type=int, default=256)
     p.add_argument(
+        "--mtx",
+        default=None,
+        help="real matrix: a .mtx[.gz] path, a basename resolved in "
+        "$TPUSPARSE_MATRIX_DIR, or a tpusparse.utils.matrices catalog "
+        "name (e.g. powerlaw_100k, laplace2d_1024, circuit_50k)",
+    )
+    p.add_argument(
         "--real",
         action="store_true",
         help="use real devices (default: virtual CPU mesh, since this "
@@ -84,19 +91,30 @@ def main():
 
     import tpusparse as ts
 
-    dim = args.dim or (8192 if args.full else 1024)
-    bm = bk = 128 if dim >= 1024 else 32
-    rng = np.random.default_rng(args.seed)
-    mask = rng.random((dim // bm, dim // bk)) < 0.1
-    a = ts.CSR.from_dense(
-        rng.random((dim, dim), dtype=np.float32)
-        * np.kron(mask, np.ones((bm, bk), np.float32))
-    )
-    log_and_print(
-        logger,
-        f"A {dim}x{dim}, nnz {a.nnz} (10% of {bm}x{bk} blocks), "
-        f"B {dim}x{args.n_cols}, mode {args.mode}, backend {jax.default_backend()}",
-    )
+    if args.mtx:
+        from tpusparse.utils.matrices import get_matrix
+
+        a = get_matrix(args.mtx)
+        log_and_print(
+            logger,
+            f"A = {args.mtx}: {a.shape[0]}x{a.shape[1]}, nnz {a.nnz}, "
+            f"B {a.shape[1]}x{args.n_cols}, mode {args.mode}, "
+            f"backend {jax.default_backend()}",
+        )
+    else:
+        dim = args.dim or (8192 if args.full else 1024)
+        bm = bk = 128 if dim >= 1024 else 32
+        rng = np.random.default_rng(args.seed)
+        mask = rng.random((dim // bm, dim // bk)) < 0.1
+        a = ts.CSR.from_dense(
+            rng.random((dim, dim), dtype=np.float32)
+            * np.kron(mask, np.ones((bm, bk), np.float32))
+        )
+        log_and_print(
+            logger,
+            f"A {dim}x{dim}, nnz {a.nnz} (10% of {bm}x{bk} blocks), "
+            f"B {dim}x{args.n_cols}, mode {args.mode}, backend {jax.default_backend()}",
+        )
 
     if jax.default_backend() == "cpu":
         log_and_print(
@@ -121,7 +139,7 @@ def main():
             f"ndev {ndev}: {rate / 1e9:.2f} Gnnz·col/s "
             f"({t * 1e3:.3f} ms/iter), efficiency {eff:.1%}",
         )
-    with open("scaling_results.json", "w") as f:
+    with open(artifact_path("scaling_results.json"), "w") as f:
         json.dump(results, f, indent=2)
 
 

@@ -408,10 +408,12 @@ def _resident_int8_kernel(
     cols_ref,  # (nbr*L,) int32, SMEM (scalar prefetch)
     nslots_ref,  # (nbr,) int32, SMEM (scalar prefetch)
     scales_ref,  # (nbr*L,) f32, SMEM (scalar prefetch) — per-slot A scales
-    # (a VMEM (1, 1, L) block was tried first: Mosaic cannot issue a
-    # dynamically-indexed scalar load from VMEM — "cannot statically
-    # prove that index ... is a multiple of 128"; SMEM is where
-    # dynamically-indexed scalars live, exactly like cols_ref)
+    # (scales MUST ride scalar prefetch, not a VMEM block: Mosaic cannot
+    # issue a dynamically-indexed scalar load from VMEM — "cannot
+    # statically prove that index ... is a multiple of 128"; SMEM is
+    # where dynamically-indexed scalars live, exactly like cols_ref —
+    # and a VMEM operand here would also break the prefetch/operand
+    # ordering contract that binds this parameter list)
     vals_ref,  # (1, L, bm, bk) int8 VMEM block for this row-block
     t_ref,  # (1, bn) f32 VMEM — per-column B scales for this n-tile
     b_hbm,  # (kp, np) int8 in ANY/HBM
@@ -532,29 +534,24 @@ def _resident_spmm_int8_jit(
     grid = (np_ // bn, nbr)  # j-major so the panel loads once per n-tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (1, L, bm, bk),
-                lambda j, i, cols, nslots: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, L),
-                lambda j, i, cols, nslots: (i, 0, 0),
+                lambda j, i, *refs: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bn),
-                lambda j, i, cols, nslots: (0, j),
+                lambda j, i, *refs: (0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (bm, bn),
-            lambda j, i, cols, nslots: (i, j),
+            lambda j, i, *refs: (i, j),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -582,8 +579,8 @@ def _resident_spmm_int8_jit(
     )(
         plan.block_cols.reshape(-1),
         plan.nslots,
+        scales.reshape(-1).astype(jnp.float32),
         qvals.reshape(nbr, L, bm, bk),
-        scales.reshape(nbr, 1, L),
         t.reshape(1, np_),
         b_q,
     )

@@ -7,6 +7,12 @@ v5e MXU runs s8×s8→s32 at 2× the bf16 rate, so a weight-sparse layer
 whose fp32 executor is MXU-pass-bound gets ~6× fewer MXU cycles
 (1 int8 pass vs 3 bf16 passes), and the resident B panel shrinks 4×.
 
+Measured on v5e (benchmarks/quant_benchmark.py --full, the 16384²
+10%-of-128²-blocks headline × 512): int8 kernel-only 0.194 ms = 2.78×
+over the fp32 resident executor (0.540 ms same session); end-to-end
+with per-call activation quantization 0.237 ms = 2.28×; rel err
+1.48e-2 vs fp64 (int8's information limit).
+
 Scheme (standard symmetric w8a8):
 - weights (the sparse A): quantized ONCE per (bm, bk) block —
   `s_a[slot] = max|block| / 127` — so the scale granularity matches the
