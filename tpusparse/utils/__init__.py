@@ -50,3 +50,12 @@ __all__ += ["validate_csr", "check_csr", "checked", "compare_report"]
 from tpusparse.utils.retry import with_retries, is_transient
 
 __all__ += ["with_retries", "is_transient"]
+
+from tpusparse.utils.matrices import (
+    MATRIX_CATALOG,
+    get_matrix,
+    load_mtx,
+    save_mtx,
+)
+
+__all__ += ["MATRIX_CATALOG", "get_matrix", "load_mtx", "save_mtx"]
