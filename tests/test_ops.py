@@ -13,7 +13,7 @@ import pytest
 from jax.test_util import check_grads
 
 from tpusparse import CSR, ops, random_csr, spmm_reference
-from tpusparse.plan import build_plan_pair
+from tpusparse.plan import build_plan, build_plan_pair
 
 jax.config.update("jax_enable_x64", False)
 
@@ -212,3 +212,52 @@ def test_naive_spmm_smem_guard():
             )
     finally:
         set_config(interpret=None)
+
+
+def test_spmm_blocks_grads(rng):
+    # block-form op: the backward must match dense gradient algebra
+    # WITHOUT densifying A (block_transpose_plan path)
+    a = random_csr(4, (48, 64), 0.12)
+    plan = build_plan(a, blocksize=(8, 16))
+    blocks = plan.pack_values(a.data)
+    b = jnp.asarray(rng.random((64, 24), dtype=np.float32))
+
+    def f(blk, bb):
+        return ops.spmm_blocks(plan, blk, bb)
+
+    check_grads(f, (blocks, b), **GRAD_KW)
+
+
+def test_spmm_blocks_db_matches_dense(rng):
+    # explicit dB parity vs the dense formula Aᵀ·dC (non-square to catch
+    # any transpose-plan geometry mix-ups)
+    a = random_csr(5, (40, 72), 0.15)
+    plan = build_plan(a, blocksize=(8, 8))
+    blocks = plan.pack_values(a.data)
+    b = jnp.asarray(rng.random((72, 16), dtype=np.float32))
+    g = jnp.asarray(rng.random((40, 16), dtype=np.float32))
+
+    _, vjp = jax.vjp(lambda bb: ops.spmm_blocks(plan, blocks, bb), b)
+    (db,) = vjp(g)
+    a_dense = np.asarray(a.to_dense(), np.float64)
+    expected = a_dense.T @ np.asarray(g, np.float64)
+    np.testing.assert_allclose(np.asarray(db), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_block_transpose_plan_roundtrip(rng):
+    # the derived transpose plan must reproduce Aᵀ block-for-block
+    from tpusparse.plan import block_transpose_plan
+
+    a = random_csr(6, (64, 40), 0.1)
+    plan = build_plan(a, blocksize=(8, 8))
+    blocks = plan.pack_values(a.data)
+    plan_t, perm = block_transpose_plan(plan)
+    assert plan_t.shape == (40, 64)
+    assert plan_t.blocksize == (8, 8)
+    blocks_ext = jnp.concatenate(
+        [jnp.swapaxes(blocks, 1, 2), jnp.zeros((1, 8, 8), blocks.dtype)]
+    )
+    at_dense = plan_t.blocks_to_dense(blocks_ext[jnp.asarray(perm)])
+    np.testing.assert_allclose(
+        np.asarray(at_dense), np.asarray(a.to_dense()).T, rtol=0, atol=0
+    )

@@ -310,3 +310,50 @@ def test_spmm_accepts_coo(rng):
     out = spmm(a, x, method="gather")
     ref = np.asarray(a.to_dense(), np.float64) @ np.asarray(x, np.float64)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=5e-5)
+
+
+def test_csr_to_bsr_no_densify_scale(rng):
+    # a 200K-row matrix: the direct pattern pass must stay O(nnz); the
+    # old dense round-trip would have allocated 200000^2 floats
+    import scipy.sparse as sp
+
+    m = 200_000
+    r = np.random.default_rng(9)
+    nnz = 800_000
+    a_sp = sp.coo_matrix(
+        (
+            r.random(nnz).astype(np.float32) + 0.5,
+            (r.integers(0, m, nnz), r.integers(0, m, nnz)),
+        ),
+        shape=(m, m),
+    ).tocsr()
+    a_sp.sum_duplicates()
+    a = CSR.from_scipy(a_sp)
+    bsr = csr_to_bsr(a, (8, 8))
+    assert bsr.nblocks <= a_sp.nnz  # each nnz lands in exactly one block
+    back = bsr_to_csr(bsr)
+    b_sp = back.to_scipy()
+    assert (b_sp != a_sp).nnz == 0
+
+
+def test_bsr_csr_roundtrip_small(rng):
+    mat = np.zeros((20, 26), np.float32)
+    mat[1, 3] = 2.0
+    mat[9, 25] = -1.5
+    mat[19, 0] = 4.0
+    a = CSR.from_dense(mat)
+    bsr = csr_to_bsr(a, (8, 16))
+    np.testing.assert_allclose(np.asarray(bsr.to_dense()), mat)
+    back = bsr_to_csr(bsr)
+    np.testing.assert_allclose(np.asarray(back.to_dense()), mat)
+
+
+def test_bsr_from_dense_matches_conversion(rng):
+    mat = (rng.random((40, 56)) * (rng.random((40, 56)) < 0.05)).astype(np.float32)
+    b1 = BSR.from_dense(mat, (8, 8))
+    b2 = csr_to_bsr(CSR.from_dense(mat), (8, 8))
+    np.testing.assert_allclose(np.asarray(b1.to_dense()), mat)
+    np.testing.assert_allclose(
+        np.asarray(b1.to_dense()), np.asarray(b2.to_dense())
+    )
+    assert b1.nblocks == b2.nblocks

@@ -30,23 +30,40 @@ from tpusparse.plan import build_plan_pair
 from tpusparse.types import CSR
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Pattern:
     """Hashable host-side sparsity pattern (static module field).
 
     Hashability makes it usable as a flax static attribute and as a jit
-    static argument; equality is by content fingerprint.
+    static argument. Backed by READ-ONLY numpy int32 arrays with a
+    fingerprint computed once at construction: storing tuples of Python
+    ints held tens of millions of boxed objects at BERT scale (~5M nnz),
+    and every hash/to_csr rebuilt the arrays from scratch. Equality and
+    hash are by content fingerprint.
     """
 
-    indices: tuple  # not stored as ndarray: must be hashable
-    indptr: tuple
+    indices: np.ndarray
+    indptr: np.ndarray
     shape: Tuple[int, int]
+
+    def __post_init__(self):
+        idx = np.ascontiguousarray(np.asarray(self.indices, dtype=np.int32))
+        ptr = np.ascontiguousarray(np.asarray(self.indptr, dtype=np.int32))
+        idx.flags.writeable = False  # frozen content backs the cached hash
+        ptr.flags.writeable = False
+        object.__setattr__(self, "indices", idx)
+        object.__setattr__(self, "indptr", ptr)
+        h = hashlib.sha1()
+        h.update(idx.tobytes())
+        h.update(ptr.tobytes())
+        h.update(repr(tuple(self.shape)).encode())
+        object.__setattr__(self, "_fp", h.digest())
 
     @classmethod
     def from_csr(cls, a: CSR) -> "Pattern":
         return cls(
-            indices=tuple(np.asarray(a.indices).tolist()),
-            indptr=tuple(np.asarray(a.indptr).tolist()),
+            indices=np.asarray(a.indices),
+            indptr=np.asarray(a.indptr),
             shape=a.shape,
         )
 
@@ -63,15 +80,11 @@ class Pattern:
         indptr = np.zeros(m + 1, dtype=np.int64)
         np.add.at(indptr[1:], rows, 1)
         indptr = np.cumsum(indptr)
-        return cls(
-            indices=tuple(cols.tolist()),
-            indptr=tuple(indptr.tolist()),
-            shape=(m, n),
-        )
+        return cls(indices=cols, indptr=indptr, shape=(m, n))
 
     @property
     def nnz(self) -> int:
-        return len(self.indices)
+        return int(self.indices.shape[0])
 
     def to_csr(self, data: jnp.ndarray) -> CSR:
         # numpy (not jnp) index arrays: under jit tracing, jnp.asarray of a
@@ -79,17 +92,20 @@ class Pattern:
         # plan inspector; numpy constants stay concrete at trace time.
         return CSR(
             data=data,
-            indices=np.asarray(self.indices, dtype=np.int32),
-            indptr=np.asarray(self.indptr, dtype=np.int32),
+            indices=self.indices,
+            indptr=self.indptr,
             shape=self.shape,
         )
 
+    def __eq__(self, other):
+        return (
+            isinstance(other, Pattern)
+            and self.shape == other.shape
+            and self._fp == other._fp
+        )
+
     def __hash__(self):
-        h = hashlib.sha1()
-        h.update(np.asarray(self.indices, np.int32).tobytes())
-        h.update(np.asarray(self.indptr, np.int32).tobytes())
-        h.update(repr(self.shape).encode())
-        return int.from_bytes(h.digest()[:8], "little")
+        return int.from_bytes(self._fp[:8], "little")
 
 
 def _ref_weight_init(key, shape, dtype=jnp.float32):

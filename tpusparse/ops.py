@@ -301,15 +301,60 @@ def _spmm_blocks_fwd(plan, blocks, b):
     return spmm_blocks(plan, blocks, b), (plan, blocks, b)
 
 
+def _db_blocks_traced(plan: Plan, blocks, g):
+    """dB = Aᵀ·dC for a plan whose pattern arrays are TRACED (the
+    shard_map training path passes per-shard block_cols/nslots as
+    operands). Jittable slot-wise form: each valid slot contributes
+    blockᵀ @ g[row-block] scatter-added at its column block — never
+    densifies A (the pre-r2 fallback scattered the full (m, k) matrix
+    every training step)."""
+    bm, bk = plan.blocksize
+    nbr, nbc, L = plan.num_row_blocks, plan.num_col_blocks, plan.ell_width
+    m, k = plan.shape
+    n = g.shape[1]
+    if nbr * bm != m:
+        g = jnp.pad(g, ((0, nbr * bm - m), (0, 0)))
+    gb = g.reshape(nbr, bm, n)
+    blk = blocks.reshape(nbr, L, bm, bk)
+    blk = blk * plan.slot_valid_mask()[..., None, None].astype(blk.dtype)
+    contrib = jnp.einsum(
+        "ilmk,imn->ilkn", blk, gb, precision=jax.lax.Precision.HIGHEST
+    )
+    db4 = (
+        jnp.zeros((nbc, bk, n), contrib.dtype)
+        .at[jnp.asarray(plan.block_cols)]
+        .add(contrib)
+    )
+    return db4.reshape(nbc * bk, n)[:k]
+
+
 def _spmm_blocks_bwd(res, g):
     plan, blocks, b = res
     dblocks = sddmm_pallas(plan, g, b).astype(blocks.dtype)
-    # dB = Aᵀ·dC. Without a transpose plan in block form, fall back to a
-    # dense Aᵀ — fine for layer-1 weights (dx unused) and modest k×m;
-    # perf-critical paths should use ops.tiled_spmm with plan pairs.
-    a_dense = plan.blocks_to_dense(blocks)
-    db = dense.matmul(a_dense, g, transa=True).astype(b.dtype)
-    return _zeros_tangent(plan), dblocks, db
+    # dB = Aᵀ·dC in BLOCK form: the transpose plan + slot permutation are
+    # derived from the forward plan's block pattern (plan.py
+    # block_transpose_plan), so the backward runs the same tiled/resident
+    # executor — no (m, k) densify (the former fallback scattered the
+    # full dense A every training step). Traced patterns (shard_map
+    # operands) take the jittable slot-scatter form instead.
+    try:
+        np.asarray(plan.block_cols)
+        concrete = True
+    except Exception:
+        concrete = False
+    if not concrete:
+        db = _db_blocks_traced(plan, blocks, g)
+        return _zeros_tangent(plan), dblocks, db.astype(b.dtype)
+    from tpusparse.plan import block_transpose_plan
+
+    plan_t, t_slot_perm = block_transpose_plan(plan)
+    bm, bk = plan.blocksize
+    blocks_ext = jnp.concatenate(
+        [jnp.swapaxes(blocks, 1, 2),
+         jnp.zeros((1, bk, bm), blocks.dtype)]  # pad slots -> zero block
+    )
+    db = _block_exec(plan_t, blocks_ext[jnp.asarray(t_slot_perm)], g)
+    return _zeros_tangent(plan), dblocks, db.astype(b.dtype)
 
 
 spmm_blocks.defvjp(_spmm_blocks_fwd, _spmm_blocks_bwd)
@@ -535,20 +580,35 @@ def _ell_cache_key(a: CSR):
     return _fingerprint(a.shape, (1, 1), indptr, indices)
 
 
-def naive_spmm(a: CSR, b: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
+def naive_spmm(
+    a: CSR, b: jnp.ndarray, reduce: str = "sum", return_arg: bool = False
+) -> jnp.ndarray:
     """Naive gather SpMM (Pallas): analog of naiveSpMM.apply (matmuls.py:305).
 
     reduce='sum' is differentiable; other reducers (mean/max/min/mul, the
-    reference Reducer modes) are forward-only.
+    reference Reducer modes) are forward-only. return_arg=True (min/max
+    only) also returns the argmin/argmax nnz-index matrix — the
+    reference's arg_out (naive_sparse_mm.cu:125-129).
     """
     _check_spmm_b(a, b)
+    if return_arg and reduce not in ("min", "max"):
+        raise ValueError("return_arg is only meaningful for reduce='min'/'max'")
     if b.ndim == 3:
+        if return_arg:
+            return jax.lax.map(
+                lambda bb: naive_spmm(a, bb, reduce, return_arg=True), b
+            )
         return jax.lax.map(lambda bb: naive_spmm(a, bb, reduce), b)
     width = resolve_ell_width(a)  # here, before the pattern turns traced
     if reduce == "sum":
         return _naive_spmm(a.shape, width, (a.data, a.indices, a.indptr), b)
     return naive_spmm_pallas(
-        ell_pack_traced(a, width=width), a.shape, b, reduce=reduce
+        ell_pack_traced(a, width=width),
+        a.shape,
+        b,
+        reduce=reduce,
+        return_arg=return_arg,
+        nnz=a.nnz,
     )
 
 
@@ -689,27 +749,68 @@ _ROUTE_CACHE = {}
 # roofline constants PLUS the per-call densify scatter (~9 ns/nnz
 # measured — spmm(a, b, method='dense') scatters A every call). See _cal
 # sweeps recorded in BENCH_DETAILS.json.
-_GATHER_ROW_BW = 80e9
-# XLA's scalar-gather ceiling: measured 83 ms at n=1 and 73 ms at n=128
-# for 5.2M nnz (≈15 ns/nnz EITHER way) — gather cost floors per nonzero,
-# it does not scale down with narrow B. Without this floor the router
-# sends banded SpMV to gather (model said 0.03 ms, reality 83 ms).
-_GATHER_PER_NNZ_FLOOR = 15e-9
-_TILED_SLOT_OVERHEAD = 120e-9
-_TILED_BW = 600e9
-_DENSIFY_PER_NNZ = 9e-9
-# dense 'high' runs the manual 3-pass bf16 decomposition, measured at
-# ~43e12 fp32-equivalent FLOP/s on the shared v5e (16384^2 x 512) — NOT
-# the 6-pass HIGHEST rate in _ROOFLINE (which would overestimate dense
-# cost ~1.3x and misroute near the dense/tiled crossover)
-_DENSE_FP32_FLOPS = 43e12
-# the one-shot spmm API re-packs CSR values into block ELL form per call
-# (~5 ns/nnz XLA scatter); plan-reuse callers should hold weights in
-# packed form and call spmm_blocks instead — that path pays none of this
-_PACK_PER_NNZ = 5e-9
-# the diagonal path streams noff*(m, n) slabs; measured 0.125 ms for a
-# 5-diagonal 1M-row SpMV (60 MB of traffic) => ~480 GB/s effective
-_DIA_BW = 480e9
+# The constants live in a mutable dict so `tpusparse.calibrate()` can
+# re-fit them on the local chip (different TPU generations move every
+# one of these) and persist/load them via utils/calibrate.py. The
+# defaults below are the v5e fit.
+_COST_DEFAULTS = {
+    "gather_row_bw": 80e9,
+    # XLA's scalar-gather ceiling: measured 83 ms at n=1 and 73 ms at
+    # n=128 for 5.2M nnz (≈15 ns/nnz EITHER way) — gather cost floors
+    # per nonzero, it does not scale down with narrow B. Without this
+    # floor the router sends banded SpMV to gather (model said 0.03 ms,
+    # reality 83 ms).
+    "gather_per_nnz_floor": 15e-9,
+    "tiled_slot_overhead": 120e-9,
+    "tiled_bw": 600e9,
+    "densify_per_nnz": 9e-9,
+    # dense 'high' runs the manual 3-pass bf16 decomposition, measured at
+    # ~43e12 fp32-equivalent FLOP/s on the shared v5e (16384^2 x 512) —
+    # NOT the 6-pass HIGHEST rate in _ROOFLINE (which would overestimate
+    # dense cost ~1.3x and misroute near the dense/tiled crossover)
+    "dense_fp32_flops": 43e12,
+    # the one-shot spmm API re-packs CSR values into block ELL form per
+    # call (~5 ns/nnz XLA scatter); plan-reuse callers should hold
+    # weights in packed form and call spmm_blocks — that path pays none
+    # of this
+    "pack_per_nnz": 5e-9,
+    # the diagonal path streams noff*(m, n) slabs; measured 0.125 ms for
+    # a 5-diagonal 1M-row SpMV (60 MB of traffic) => ~480 GB/s effective
+    "dia_bw": 480e9,
+}
+_COST = dict(_COST_DEFAULTS)
+
+
+def get_cost_constants() -> dict:
+    """The router cost-model constants currently in effect (a copy)."""
+    return dict(_COST)
+
+
+def set_cost_constants(**kwargs) -> dict:
+    """Override router cost constants (used by tpusparse.calibrate());
+    unknown keys raise. Clears the route cache so new decisions apply."""
+    for k_, v in kwargs.items():
+        if k_ not in _COST:
+            raise KeyError(
+                f"unknown cost constant {k_!r}; known: {sorted(_COST)}"
+            )
+        _COST[k_] = float(v)
+    _ROUTE_CACHE.clear()
+    return dict(_COST)
+
+
+def _load_calibration_into_cost():
+    """Apply a persisted tpusparse.calibrate() fit, if one exists."""
+    from tpusparse.utils.calibrate import load_calibration
+
+    fit = load_calibration()
+    if fit:
+        for k_, v in fit.items():
+            if k_ in _COST:
+                _COST[k_] = float(v)
+
+
+_load_calibration_into_cost()
 
 
 def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) -> str:
@@ -749,7 +850,7 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     nblocks = int(np.unique((rows // bm) * nbc + indices // bk).size)
     nnz = int(indices.shape[0])
 
-    t_gather = nnz * max(n * 8.0 / _GATHER_ROW_BW, _GATHER_PER_NNZ_FLOOR)
+    t_gather = nnz * max(n * 8.0 / _COST["gather_row_bw"], _COST["gather_per_nnz_floor"])
     # the tiled path upgrades to the resident executor when the B panel
     # fits VMEM AND the pattern re-uses it; B traffic is then one panel
     # (k rows) per n-tile instead of one (bk, n) tile per occupied block
@@ -769,17 +870,17 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     tiled_bytes = (b_bytes + nblocks * bm * bk + m * n * 2) * 4.0
     t_tiled = (
         max(
-            tiled_bytes / _TILED_BW,
-            nblocks * _TILED_SLOT_OVERHEAD * max(n // 512, 1),
+            tiled_bytes / _COST["tiled_bw"],
+            nblocks * _COST["tiled_slot_overhead"] * max(n // 512, 1),
         )
-        + nnz * _PACK_PER_NNZ
+        + nnz * _COST["pack_per_nnz"]
     )
     t_dense = (
         max(
-            2.0 * m * k * n / _DENSE_FP32_FLOPS,
+            2.0 * m * k * n / _COST["dense_fp32_flops"],
             (m * k + k * n + m * n) * 4.0 / _ROOFLINE["hbm_bandwidth"],
         )
-        + nnz * _DENSIFY_PER_NNZ
+        + nnz * _COST["densify_per_nnz"]
         + m * k * 4.0 / _ROOFLINE["hbm_bandwidth"]
     )
     candidates = [(t_tiled, "tiled"), (t_gather, "gather"), (t_dense, "dense")]
@@ -789,7 +890,7 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     if pat is not None:
         noff = int(pat[0].size)
         t_dia = (
-            noff * m * (n + 2) * 4.0 / _DIA_BW + nnz * _PACK_PER_NNZ
+            noff * m * (n + 2) * 4.0 / _COST["dia_bw"] + nnz * _COST["pack_per_nnz"]
         )
         candidates.append((t_dia, "dia"))
     method = min(candidates)[1]
@@ -803,6 +904,7 @@ def spmm(
     method: str = "auto",
     reduce: str = "sum",
     blocksize: Optional[Tuple[int, int]] = None,
+    return_arg: bool = False,
 ) -> jnp.ndarray:
     """Sparse × dense matmul with method dispatch.
 
@@ -817,12 +919,19 @@ def spmm(
     (pure-XLA segment ops), 'auto' (inspector cost model picks
     gather/tiled/dense; reference for non-sum reducers). Batched 3-D b
     maps over the shared pattern.
+    return_arg=True (reduce='min'/'max' only) also returns the int32
+    argmin/argmax matrix — per output element, the global nnz index of A
+    attaining the extremum, `a.nnz` for empty rows (the reference kernel's
+    arg_out, naive_sparse_mm.cu:125-129 / naive_reducer.cuh:56-66) — on
+    the 'auto'/'reference' (XLA segment) or 'naive' (Pallas) paths.
     Analog of sparse_matmul routing (matmuls.py:189-235) minus its quirks
     (the reference routes the 3-D cusparse path through the naive kernel,
     matmuls.py:224).
     """
     from tpusparse.types import BSR, COO, DIA, bsr_to_csr, coo_to_csr
 
+    if return_arg and reduce not in ("min", "max"):
+        raise ValueError("return_arg is only meaningful for reduce='min'/'max'")
     if isinstance(a, DIA):
         if reduce != "sum":
             raise ValueError(
@@ -843,17 +952,32 @@ def spmm(
         validate_csr(a)
     if b.ndim == 1:  # SpMV: lift to one-column SpMM (reference matmuls.py:39-41
         # does the analogous 1-D fallback on the dense path)
-        return spmm(a, b[:, None], method, reduce, blocksize)[..., 0]
+        out = spmm(a, b[:, None], method, reduce, blocksize, return_arg)
+        if return_arg:
+            return out[0][..., 0], out[1][..., 0]
+        return out[..., 0]
     _check_spmm_b(a, b)
     if b.ndim > 3:  # fold leading batch dims (reference folds 4-D batches
         # on the dense path, custom_mm.cpp:125-164, and loops otherwise)
         lead = b.shape[:-2]
-        out = spmm(a, b.reshape((-1,) + b.shape[-2:]), method, reduce, blocksize)
+        out = spmm(
+            a, b.reshape((-1,) + b.shape[-2:]), method, reduce, blocksize,
+            return_arg,
+        )
+        if return_arg:
+            return tuple(o.reshape(lead + o.shape[-2:]) for o in out)
         return out.reshape(lead + out.shape[-2:])
     if reduce != "sum" and method in ("auto", "reference"):
         if b.ndim == 3:
-            return jax.lax.map(lambda bb: spmm_reference(a, bb, reduce=reduce), b)
-        return spmm_reference(a, b, reduce=reduce)
+            return jax.lax.map(
+                lambda bb: spmm_reference(
+                    a, bb, reduce=reduce, return_arg=return_arg
+                ),
+                b,
+            )
+        return spmm_reference(a, b, reduce=reduce, return_arg=return_arg)
+    if reduce != "sum" and method == "naive":
+        return naive_spmm(a, b, reduce=reduce, return_arg=return_arg)
     if reduce != "sum" and method != "naive":
         # tiled/footprint/gather/dense are sum-only kernels; silently
         # returning the sum for an explicitly requested reducer would be

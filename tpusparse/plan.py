@@ -302,6 +302,68 @@ def build_plan(
     return plan
 
 
+_BLOCK_T_CACHE: Dict[str, tuple] = {}
+
+
+def block_transpose_plan(plan: Plan):
+    """(transpose Plan, slot permutation) derived from a Plan's BLOCK
+    pattern alone — no CSR needed.
+
+    Used by the `spmm_blocks` backward (dB = Aᵀ·dC): A's packed ELL
+    blocks transpose slot-wise — the block at (row-block i, col-block j)
+    becomes the (j, i) block of Aᵀ with its (bm, bk) tile transposed —
+    so the transpose operand is `swapaxes(blocks, 1, 2)[perm]` with pad
+    slots mapped to a zero block (index == plan.num_slots), and dB runs
+    the same tiled/resident executor as any forward. This replaces the
+    former blocks_to_dense densify (a full (m, k) scatter per training
+    step; reference backward semantics matmuls.py:100-102 at
+    plan-cached speed).
+
+    The returned Plan carries an empty scatter_idx (no nnz-level
+    packing exists for a block-only pattern); executors never read it.
+    Host-side, cached by block-pattern fingerprint.
+    """
+    nbr, nbc = plan.num_row_blocks, plan.num_col_blocks
+    L = plan.ell_width
+    bc = np.asarray(plan.block_cols).reshape(nbr, L)
+    ns = np.asarray(plan.nslots)
+    key = _fingerprint(plan.shape, plan.blocksize, ns, bc)
+    if key in _BLOCK_T_CACHE:
+        return _BLOCK_T_CACHE[key]
+
+    valid = np.arange(L, dtype=np.int64)[None, :] < ns[:, None]
+    i_ids, l_ids = np.nonzero(valid)
+    j_ids = bc[i_ids, l_ids].astype(np.int64)
+    slot_ids = i_ids * L + l_ids
+    order = np.lexsort((i_ids, j_ids))  # (col-block, row-block): Aᵀ order
+    tj, ti, tslot = j_ids[order], i_ids[order], slot_ids[order]
+    counts = np.bincount(tj, minlength=nbc)
+    L_t = max(int(counts.max()) if counts.size else 1, 1)
+    row_start = np.zeros(nbc, dtype=np.int64)
+    np.cumsum(counts[:-1], out=row_start[1:])
+    pos = np.arange(tj.size, dtype=np.int64) - np.repeat(row_start, counts)
+    block_cols_t = np.zeros((nbc, L_t), np.int32)
+    block_cols_t[tj, pos] = ti
+    t_slot_perm = np.full((nbc * L_t,), plan.num_slots, np.int64)
+    t_slot_perm[tj * L_t + pos] = tslot
+
+    m, k = plan.shape
+    bm, bk = plan.blocksize
+    plan_t = Plan(
+        block_cols=np.ascontiguousarray(block_cols_t),
+        nslots=counts.astype(np.int32),
+        scatter_idx=np.zeros((0,), np.int32),
+        shape=(k, m),
+        blocksize=(bk, bm),
+        ell_width=L_t,
+        nnz=plan.nnz,
+        nblocks=plan.nblocks,
+    )
+    out = (plan_t, np.ascontiguousarray(t_slot_perm.astype(np.int32)))
+    _BLOCK_T_CACHE[key] = out
+    return out
+
+
 def build_plan_pair(pattern: CSR, blocksize: Optional[Shape2] = None):
     """(plan for A, plan for Aᵀ, permutation mapping A.data -> Aᵀ.data).
 

@@ -357,23 +357,43 @@ class BSR:
 
     @classmethod
     def from_dense(cls, mat, blocksize: Shape2) -> "BSR":
-        """Host-side conversion keeping only blocks with any nonzero."""
+        """Host-side conversion keeping only blocks with any nonzero.
+
+        Processes one row-block strip at a time — peak extra memory is
+        O(bm·k + stored blocks), not a second full padded copy of the
+        input (which at 1M rows doubled an already-large allocation)."""
         mat = np.asarray(mat)
         shape = _static_shape(mat.shape)
         bm, bk = blocksize
         nbr, nbc = _cdiv(shape[0], bm), _cdiv(shape[1], bk)
-        padded = np.zeros((nbr * bm, nbc * bk), dtype=mat.dtype)
-        padded[: shape[0], : shape[1]] = mat
-        blocks = padded.reshape(nbr, bm, nbc, bk).transpose(0, 2, 1, 3)
-        mask = np.abs(blocks).sum(axis=(2, 3)) != 0  # (nbr, nbc)
-        brow, bcol = np.nonzero(mask)
-        indptr = np.zeros(nbr + 1, dtype=np.int32)
-        np.add.at(indptr[1:], brow, 1)
-        indptr = np.cumsum(indptr).astype(np.int32)
+        kp = nbc * bk
+        chunks, bcol_list, counts = [], [], np.zeros(nbr, dtype=np.int64)
+        strip = np.zeros((bm, kp), dtype=mat.dtype)
+        for i in range(nbr):
+            r0 = i * bm
+            rows = min(bm, shape[0] - r0)
+            strip[:] = 0
+            strip[:rows, : shape[1]] = mat[r0 : r0 + rows]
+            blocks = strip.reshape(bm, nbc, bk).transpose(1, 0, 2)
+            occupied = np.flatnonzero((blocks != 0).any(axis=(1, 2)))
+            if occupied.size:
+                chunks.append(blocks[occupied].copy())
+                bcol_list.append(occupied)
+                counts[i] = occupied.size
+        indptr = np.zeros(nbr + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        data = (
+            np.concatenate(chunks)
+            if chunks
+            else np.zeros((0, bm, bk), dtype=mat.dtype)
+        )
+        bcol = (
+            np.concatenate(bcol_list) if bcol_list else np.zeros(0, np.int64)
+        )
         return cls(
-            data=jnp.asarray(blocks[brow, bcol]),
+            data=jnp.asarray(data),
             indices=jnp.asarray(bcol, dtype=_INDEX_DTYPE),
-            indptr=jnp.asarray(indptr),
+            indptr=jnp.asarray(indptr, dtype=_INDEX_DTYPE),
             shape=shape,
             blocksize=(bm, bk),
         )
@@ -434,13 +454,58 @@ def csr_to_coo(a: CSR) -> COO:
 
 
 def csr_to_bsr(a: CSR, blocksize: Shape2) -> BSR:
-    """Host-side CSR -> BSR densification (pattern-dependent block count)."""
-    return BSR.from_dense(np.asarray(a.to_dense()), blocksize)
+    """Host-side CSR -> BSR via a direct pattern pass — O(nnz + stored
+    blocks) memory, never the O(m·k) dense round-trip (a 1M-row matrix
+    must convert in a few hundred MB). Pattern-dependent block count, so
+    not jittable (like the reference's dense_to_csr analysis pass,
+    baseline_mm.cu:218-264, this is a host-side one-time conversion)."""
+    bm, bk = blocksize
+    m, k = a.shape
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices).astype(np.int64)
+    data = np.asarray(a.data)
+    nbr, nbc = _cdiv(m, bm), _cdiv(k, bk)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    key = (rows // bm) * nbc + (indices // bk)
+    ukeys, block_of = np.unique(key, return_inverse=True)
+    bdata = np.zeros((ukeys.size, bm, bk), dtype=data.dtype)
+    np.add.at(bdata, (block_of, rows % bm, indices % bk), data)
+    ubrow = (ukeys // nbc).astype(np.int64)
+    indptr_b = np.zeros(nbr + 1, dtype=np.int64)
+    np.add.at(indptr_b[1:], ubrow, 1)
+    return BSR(
+        data=jnp.asarray(bdata),
+        indices=jnp.asarray(ukeys % nbc, dtype=_INDEX_DTYPE),
+        indptr=jnp.asarray(np.cumsum(indptr_b), dtype=_INDEX_DTYPE),
+        shape=a.shape,
+        blocksize=(bm, bk),
+    )
 
 
 def bsr_to_csr(a: BSR) -> CSR:
-    """Host-side BSR -> CSR (drops explicit zeros inside blocks)."""
-    return CSR.from_dense(np.asarray(a.to_dense()))
+    """Host-side BSR -> CSR via a direct block pass (drops explicit
+    zeros inside blocks) — O(nnz) memory, no dense round-trip."""
+    bm, bk = a.blocksize
+    m, k = a.shape
+    bdata = np.asarray(a.data)
+    bcols = np.asarray(a.indices).astype(np.int64)
+    brows = np.asarray(a.row_block_ids()).astype(np.int64)
+    nz_blk, nz_r, nz_c = np.nonzero(bdata)
+    rows = brows[nz_blk] * bm + nz_r
+    cols = bcols[nz_blk] * bk + nz_c
+    vals = bdata[nz_blk, nz_r, nz_c]
+    keep = (rows < m) & (cols < k)  # strip block zero-padding
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(indptr[1:], rows, 1)
+    return CSR(
+        data=jnp.asarray(vals),
+        indices=jnp.asarray(cols, dtype=_INDEX_DTYPE),
+        indptr=jnp.asarray(np.cumsum(indptr), dtype=_INDEX_DTYPE),
+        shape=a.shape,
+    )
 
 
 # ----------------------------------------------------------------------------
