@@ -491,3 +491,46 @@ def test_resident_vmem_check_not_cached_by_jit(rng):
             resident_spmm_pallas(plan, bv, b)
     finally:
         set_config(vmem_limit_bytes=64 << 20)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_naive_spmm_return_arg(rng, reduce):
+    # arg contract: global nnz index attaining the extremum, nnz for
+    # empty rows (reference naive_sparse_mm.cu:125-129)
+    mat = np.zeros((16, 24), np.float32)
+    mat[3, [1, 5, 9]] = [2.0, -3.0, 0.5]
+    mat[7, [0, 23]] = [1.5, 1.5]
+    mat[10, 7] = -4.0
+    a = CSR.from_dense(mat)
+    b = jnp.asarray(rng.standard_normal((24, 16)).astype(np.float32))
+    out, arg = naive_spmm_pallas(
+        ell_pack(a), a.shape, b, reduce=reduce, return_arg=True, nnz=a.nnz
+    )
+    eout, earg = spmm_reference(a, b, reduce=reduce, return_arg=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(eout), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(arg), np.asarray(earg))
+    # empty rows carry the fill value a.nnz
+    assert (np.asarray(arg)[0] == a.nnz).all()
+
+
+def test_spmm_public_return_arg(rng):
+    a = random_csr(11, (32, 48), 0.1)
+    b = jnp.asarray(rng.standard_normal((48, 8)).astype(np.float32))
+    for method in ("auto", "reference", "naive"):
+        out, arg = __import__("tpusparse").spmm(
+            a, b, method=method, reduce="max", return_arg=True
+        )
+        eout, earg = spmm_reference(a, b, reduce="max", return_arg=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(eout), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(arg), np.asarray(earg))
+    # vector rhs keeps the contract through the SpMV lift
+    v = jnp.asarray(rng.standard_normal(48).astype(np.float32))
+    ov, av = __import__("tpusparse").spmm(a, v, reduce="min", return_arg=True)
+    ev, eav = spmm_reference(a, v[:, None], reduce="min", return_arg=True)
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ev)[:, 0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(av), np.asarray(eav)[:, 0])
+    # guard: return_arg without min/max
+    with pytest.raises(ValueError, match="min"):
+        __import__("tpusparse").spmm(a, b, reduce="sum", return_arg=True)

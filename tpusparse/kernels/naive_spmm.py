@@ -69,24 +69,39 @@ def _naive_kernel(
     idx_ref,
     vals_ref,
     nnzrow_ref,
+    base_ref,  # (m,) int32: row -> first global nnz index (indptr[:-1])
     b_ref,
     o_ref,
-    *,
+    *arg_out,  # (row_tile, bn) int32 arg ref iff return_arg
     ell_width: int,
     row_tile: int,
     reduce: str,
+    nnz_fill: int = 0,
 ):
     i = pl.program_id(0)
     tn = o_ref.shape[1]
+    return_arg = bool(arg_out)
 
     for r in range(row_tile):  # static unroll over the row tile
         row = i * row_tile + r
         count = nnzrow_ref[row]
+        base = base_ref[row]
 
-        def body(l, acc):
+        def body(l, carry):
+            acc = carry[0] if return_arg else carry
             col = idx_ref[row * ell_width + l]
             v = vals_ref[row * ell_width + l]
             contrib = v * b_ref[pl.ds(col, 1), :]
+            if return_arg:
+                # strict improvement keeps the FIRST nnz attaining the
+                # extremum (ties never update), matching spmm_reference's
+                # segment_min-over-candidates tie-break
+                arg = carry[1]
+                better = contrib > acc if reduce == "max" else contrib < acc
+                return (
+                    jnp.where(better, contrib, acc),
+                    jnp.where(better, base + l, arg),
+                )
             if reduce in ("sum", "mean"):
                 return acc + contrib
             if reduce == "max":
@@ -99,7 +114,12 @@ def _naive_kernel(
             return acc * contrib  # mul
 
         init = jnp.full((1, tn), _identity(reduce), dtype=jnp.float32)
-        acc = jax.lax.fori_loop(0, count, body, init)
+        if return_arg:
+            # arg init = nnz: the reference's empty-row fill
+            # (naive_sparse_mm.cu:125-129 arg_out contract)
+            init = (init, jnp.full((1, tn), nnz_fill, dtype=jnp.int32))
+        out = jax.lax.fori_loop(0, count, body, init)
+        acc, arg = out if return_arg else (out, None)
         if reduce == "mean":
             acc = acc / jnp.maximum(count, 1).astype(jnp.float32)
         if reduce in ("max", "min"):
@@ -108,9 +128,14 @@ def _naive_kernel(
             # (naive_reducer.cuh:94-99), matching spmm_reference
             acc = jnp.where(count > 0, acc, 0.0)
         o_ref[pl.ds(r, 1), :] = acc.astype(o_ref.dtype)
+        if return_arg:
+            arg_out[0][pl.ds(r, 1), :] = arg
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "reduce", "block_n"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "reduce", "block_n", "return_arg", "nnz"),
+)
 def naive_spmm_pallas(
     ell: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     shape: Tuple[int, int],
@@ -118,10 +143,20 @@ def naive_spmm_pallas(
     *,
     reduce: str = "sum",
     block_n: int = 512,
+    return_arg: bool = False,
+    nnz: int = 0,
 ) -> jnp.ndarray:
-    """C[i,:] = reduce_{j in row i} A[i,j] * B[j,:] for ELL-packed A."""
+    """C[i,:] = reduce_{j in row i} A[i,j] * B[j,:] for ELL-packed A.
+
+    With return_arg=True (min/max only) also returns the int32
+    argmin/argmax matrix: the global nnz index attaining each extremum,
+    `nnz` for empty rows — the reference arg_out contract
+    (src/naive_sparse_mm.cu:125-129, naive_reducer.cuh:56-66).
+    """
     if reduce not in REDUCTIONS:
         raise ValueError(f"unknown reduce {reduce!r}; options {REDUCTIONS}")
+    if return_arg and reduce not in ("min", "max"):
+        raise ValueError("return_arg is only meaningful for min/max")
     col_idx, vals, nnz_per_row = ell
     m, k = shape
     if b.ndim != 2 or b.shape[0] != k:
@@ -149,28 +184,47 @@ def naive_spmm_pallas(
         col_idx = jnp.pad(col_idx, ((0, mp - m), (0, 0)))
         vals = jnp.pad(vals, ((0, mp - m), (0, 0)))
         nnz_per_row = jnp.pad(nnz_per_row, (0, mp - m))
+    # row -> first global nnz index (exclusive prefix over row counts;
+    # ELL packs in CSR order, so slot (row, l) is nnz index base[row]+l)
+    row_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(nnz_per_row.astype(jnp.int32))[:-1]]
+    )
+    # the arg empty-row fill is the matrix's nnz — static (the operands
+    # are tracers under this function's jit, so it must come in as a
+    # static arg, not be computed from nnz_per_row here)
 
     grid = (mp // _ROW_TILE, np_ // bn)
 
+    out_shape = jax.ShapeDtypeStruct((mp, np_), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (_ROW_TILE, bn), lambda i, j, *refs: (i, j), memory_space=pltpu.VMEM
+    )
+    if return_arg:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((mp, np_), jnp.int32))
+        out_spec = (out_spec, out_spec)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (kp, bn), lambda i, j, *refs: (0, j), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (_ROW_TILE, bn), lambda i, j, *refs: (i, j), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
     )
 
     out = pl.pallas_call(
         functools.partial(
-            _naive_kernel, ell_width=L, row_tile=_ROW_TILE, reduce=reduce
+            _naive_kernel,
+            ell_width=L,
+            row_tile=_ROW_TILE,
+            reduce=reduce,
+            nnz_fill=nnz,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             # the B column strip (kp, bn) is VMEM-resident across the whole
@@ -183,6 +237,10 @@ def naive_spmm_pallas(
         col_idx.reshape(-1),
         vals.reshape(-1).astype(jnp.float32),
         nnz_per_row.astype(jnp.int32),
+        row_base,
         b.astype(jnp.float32),
     )
+    if return_arg:
+        vals_out, arg = out
+        return vals_out[:m, :n], arg[:m, :n]
     return out[:m, :n]
