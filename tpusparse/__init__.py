@@ -89,6 +89,7 @@ from tpusparse.linalg import speye
 from tpusparse import patch
 from tpusparse import quant
 from tpusparse.quant import QuantizedMatrix
+from tpusparse.utils.calibrate import calibrate
 from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_params
 
 __version__ = "0.1.0"
@@ -157,6 +158,7 @@ __all__ = [
     "patch",
     "quant",
     "QuantizedMatrix",
+    "calibrate",
     "PatchedDense",
     "patch_flax_dense",
     "sparsify_dense_params",

@@ -256,7 +256,7 @@ _spgemm_data.defvjp(_spgemm_fwd, _spgemm_bwd)
 # products the densify-and-ride-the-MXU route wins — exactly the same
 # regime split ops._route_spmm makes for SpMM.
 _SCHEDULE_MULTS_PER_S = 64e6
-_DENSIFY_PER_NNZ = 9e-9  # same scatter constant as ops._DENSIFY_PER_NNZ
+
 # XLA's TPU gather executes ~1 index at a time: ~6.7 ns/element measured
 # (flat 1-D form; 2-D fancy indexing is 1.5x worse, sortedness hints are
 # ignored) — the dense route pays this once per C nonzero to extract the
@@ -271,7 +271,7 @@ def _count_products(a: CSR, b: CSR) -> int:
 
 
 def _route_spgemm(a: CSR, b: CSR) -> str:
-    from tpusparse.ops import _DENSE_FP32_FLOPS
+    from tpusparse.ops import _COST
 
     try:
         nmul = _count_products(a, b)
@@ -284,8 +284,8 @@ def _route_spgemm(a: CSR, b: CSR) -> str:
     # is tight exactly where the dense route competes (few collisions)
     c_nnz_bound = min(nmul, m * n)
     t_dense = (
-        2.0 * m * k * n / _DENSE_FP32_FLOPS
-        + (a.nnz + b.nnz) * _DENSIFY_PER_NNZ
+        2.0 * m * k * n / _COST["dense_fp32_flops"]
+        + (a.nnz + b.nnz) * _COST["densify_per_nnz"]
         + c_nnz_bound * _GATHER_PER_ELEM
     )
     return "schedule" if t_sched <= t_dense else "dense"
