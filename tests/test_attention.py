@@ -383,3 +383,129 @@ def test_sparse_attention_with_bigbird_pattern_matches_masked_dense(rng):
         p["out"]["bias"], np.float64
     )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Block-pattern (BigBird) flash attention — the fused sparse-pattern kernel
+# ---------------------------------------------------------------------------
+
+
+def _masked_dense_oracle(q, k, v, tok_mask):
+    d = q.shape[-1]
+    sc = (
+        q.astype(np.float64) @ k.astype(np.float64).transpose(0, 2, 1)
+    ) / np.sqrt(d)
+    sc = np.where(tok_mask, sc, -np.inf)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return p @ v.astype(np.float64)
+
+
+def test_block_flash_matches_masked_dense(rng):
+    from tpusparse.kernels.flash_attention import (
+        BlockAttnPlan,
+        block_flash_attention,
+    )
+    from tpusparse.nn import bigbird_block_mask
+
+    s, d, B = 256, 64, 64
+    mask = bigbird_block_mask(
+        s, block=B, window_blocks=3, num_global_blocks=1, num_random_blocks=1
+    )
+    plan = BlockAttnPlan(mask, B, B, s)
+    assert 0 < plan.density < 1
+    q = rng.standard_normal((2, s, d)).astype(np.float32)
+    k = rng.standard_normal((2, s, d)).astype(np.float32)
+    v = rng.standard_normal((2, s, d)).astype(np.float32)
+    out = np.asarray(
+        block_flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), plan)
+    )
+    ref = _masked_dense_oracle(q, k, v, np.kron(mask, np.ones((B, B), bool)))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel
+
+
+def test_block_flash_unpadded_seq(rng):
+    # seq not a multiple of the block: padded keys must not contribute
+    from tpusparse.kernels.flash_attention import (
+        BlockAttnPlan,
+        block_flash_attention,
+    )
+
+    s, d, B = 160, 32, 64  # 160 = 2.5 blocks
+    nb = 3
+    mask = np.ones((nb, nb), bool)
+    plan = BlockAttnPlan(mask, B, B, s)
+    q = rng.standard_normal((1, s, d)).astype(np.float32)
+    k = rng.standard_normal((1, s, d)).astype(np.float32)
+    v = rng.standard_normal((1, s, d)).astype(np.float32)
+    out = np.asarray(
+        block_flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), plan)
+    )
+    ref = _masked_dense_oracle(q, k, v, np.ones((s, s), bool))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_block_flash_grads_match_masked_dense(rng):
+    from tpusparse.kernels.flash_attention import (
+        BlockAttnPlan,
+        block_flash_attention_diff,
+    )
+    from tpusparse.nn import bigbird_block_mask
+
+    s, d, B = 192, 32, 64
+    mask = bigbird_block_mask(s, block=B, window_blocks=1,
+                              num_global_blocks=1, num_random_blocks=0)
+    plan = BlockAttnPlan(mask, B, B, s)
+    tok = jnp.asarray(np.kron(mask, np.ones((B, B), bool)))
+    q = jnp.asarray(rng.standard_normal((2, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, s, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, s, d)).astype(np.float32))
+
+    def dense_ref(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        sc = jnp.where(tok, sc, -1e30)
+        return jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(sc, -1), v)
+
+    f1 = lambda *a: jnp.vdot(block_flash_attention_diff(*a, plan), g)
+    f2 = lambda *a: jnp.vdot(dense_ref(*a), g)
+    g1 = jax.grad(f1, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(f2, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        rel = np.abs(np.asarray(a) - np.asarray(b)).max() / max(
+            np.abs(np.asarray(b)).max(), 1e-9
+        )
+        assert rel < 5e-5, rel
+
+
+def test_block_attn_plan_guards():
+    from tpusparse.kernels.flash_attention import BlockAttnPlan
+
+    with pytest.raises(ValueError, match="cover"):
+        BlockAttnPlan(np.ones((2, 2), bool), 64, 64, 256)
+    mask = np.ones((4, 4), bool)
+    mask[2] = False
+    with pytest.raises(ValueError, match="at least one"):
+        BlockAttnPlan(mask, 64, 64, 256)
+
+
+def test_bigbird_attention_module_trains(rng):
+    from tpusparse.nn import BigBirdAttention
+
+    layer = BigBirdAttention(num_heads=2, head_dim=16, block=32,
+                             window_blocks=3, num_global_blocks=1,
+                             num_random_blocks=1)
+    x = jnp.asarray(rng.standard_normal((2, 128, 32)).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == (2, 128, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss(p):
+        return jnp.sum(layer.apply(p, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(grads)
+    )

@@ -520,3 +520,465 @@ def _fa_bwd(causal, sm_scale, res, g):
 
 
 flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)
+
+
+# -----------------------------------------------------------------------------
+# Block-pattern flash attention — BigBird-class sparse patterns fused into
+# the flash kernel. Each q-block carries a scalar-prefetched ELL list of the
+# kv-blocks it attends to (window + global + random, any block pattern);
+# the grid's third axis walks that list, the BlockSpec index map picks the
+# listed K/V block for each step (so unlisted blocks are never fetched from
+# HBM, let alone computed), and the online softmax is unchanged. This is
+# the attention analog of the tiled-SpMM plan executor (plan.py), and the
+# TPU-native replacement for routing BigBird patterns through the
+# SDDMM+segment-softmax path (which materializes per-nonzero scores and
+# loses to dense by ~90x at short seq — measured, RESULTS.md r1).
+# -----------------------------------------------------------------------------
+
+
+class BlockAttnPlan:
+    """Host-side plan for a block-sparse attention pattern.
+
+    kv_list (nq, L) int32: kv-block ids each q-block attends to, pad
+    slots repeat the last valid id (fetch is harmless, compute skipped);
+    kv_cnt (nq,): valid counts; q_list/q_cnt: the transpose lists that
+    drive the dK/dV backward. Plans are trace-time constants, cacheable
+    by block-mask fingerprint.
+    """
+
+    def __init__(self, block_mask, block_q: int, block_k: int, seq: int):
+        import numpy as np
+
+        mask = np.asarray(block_mask, bool)
+        nq, nk = mask.shape
+        if nq * block_q < seq or nk * block_k < seq:
+            raise ValueError(
+                f"block grid {mask.shape} x ({block_q},{block_k}) "
+                f"does not cover seq {seq}"
+            )
+        kv_cnt = mask.sum(axis=1).astype(np.int32)
+        q_cnt = mask.sum(axis=0).astype(np.int32)
+        if (kv_cnt == 0).any():
+            raise ValueError(
+                "every q block must attend to at least one kv block "
+                f"(empty rows: {np.flatnonzero(kv_cnt == 0).tolist()[:8]})"
+            )
+        L = int(kv_cnt.max())
+        Lt = max(int(q_cnt.max()), 1)
+        kv_list = np.zeros((nq, L), np.int32)
+        q_list = np.zeros((nk, Lt), np.int32)
+        for i in range(nq):
+            ids = np.flatnonzero(mask[i]).astype(np.int32)
+            kv_list[i, : ids.size] = ids
+            kv_list[i, ids.size :] = ids[-1] if ids.size else 0
+        for j in range(nk):
+            ids = np.flatnonzero(mask[:, j]).astype(np.int32)
+            q_list[j, : ids.size] = ids
+            q_list[j, ids.size :] = ids[-1] if ids.size else 0
+        self.kv_list, self.kv_cnt = kv_list, kv_cnt
+        self.q_list, self.q_cnt = q_list, q_cnt
+        self.block_q, self.block_k = int(block_q), int(block_k)
+        self.seq = int(seq)
+        self.nq, self.nk, self.L, self.Lt = nq, nk, L, Lt
+        self.block_mask = mask
+
+    @property
+    def density(self) -> float:
+        return float(self.block_mask.mean())
+
+
+def _blk_flash_kernel(
+    kvl_ref,  # (nq*L,) int32 SMEM
+    kvc_ref,  # (nq,) int32 SMEM
+    q_ref, k_ref, v_ref,
+    o_ref,
+    lse_ref,  # (1, bq, 128) or None
+    m_scr, l_scr, acc_scr,
+    *,
+    sm_scale: float,
+    block_k: int,
+    kv_len: int,
+    ell_width: int,
+):
+    i = pl.program_id(1)
+    l = pl.program_id(2)
+    nl = pl.num_programs(2)
+
+    @pl.when(l == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(l < kvc_ref[i])
+    def _block():
+        kvb = kvl_ref[i * ell_width + l]
+        s = (
+            jax.lax.dot_general(
+                q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            * sm_scale
+        )
+        key_pos = kvb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(key_pos < kv_len, s, _NEG_INF)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[:, :1] = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * corr + jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(l == nl - 1)
+    def _final():
+        den = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.where(den == 0.0, 1.0, den)).astype(
+            o_ref.dtype
+        )
+        if lse_ref is not None:
+            lse = m_scr[:, :1] + jnp.log(jnp.where(den == 0.0, 1.0, den))
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _blk_flash_lse(kvl, kvc, q, k, v, o, lse, m, l_, a, **kw):
+    _blk_flash_kernel(kvl, kvc, q, k, v, o, lse, m, l_, a, **kw)
+
+
+def _blk_flash_no_lse(kvl, kvc, q, k, v, o, m, l_, a, **kw):
+    _blk_flash_kernel(kvl, kvc, q, k, v, o, None, m, l_, a, **kw)
+
+
+def block_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    plan: BlockAttnPlan,
+    *,
+    sm_scale: float | None = None,
+    return_lse: bool = False,
+) -> jnp.ndarray:
+    """Fused attention restricted to a block pattern (BigBird et al.).
+
+    Compute and HBM traffic scale with the pattern's occupied blocks
+    (plan.density of dense), not seq². Matches masked dense softmax
+    attention on the allowed pattern (fully-masked rows return 0).
+    """
+    if q.shape != k.shape or k.shape != v.shape:
+        raise ValueError(f"q/k/v shapes differ: {q.shape} {k.shape} {v.shape}")
+    *lead, s, d = q.shape
+    if s != plan.seq:
+        raise ValueError(f"plan is for seq {plan.seq}, got {s}")
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    bq, bk = plan.block_q, plan.block_k
+    sp_q, sp_k = plan.nq * bq, plan.nk * bk
+    dp = round_up(d, 128)
+    bh = 1
+    for x in lead:
+        bh *= x
+    q3 = q.reshape(bh, s, d)
+    k3 = k.reshape(bh, s, d)
+    v3 = v.reshape(bh, s, d)
+    if (sp_q, dp) != (s, d):
+        q3 = jnp.pad(q3, ((0, 0), (0, sp_q - s), (0, dp - d)))
+    if (sp_k, dp) != (s, d):
+        k3 = jnp.pad(k3, ((0, 0), (0, sp_k - s), (0, dp - d)))
+        v3 = jnp.pad(v3, ((0, 0), (0, sp_k - s), (0, dp - d)))
+
+    L = plan.L
+    grid = (bh, plan.nq, L)
+    qmap = lambda b, i, l, kvl, kvc: (b, i, 0)
+    kmap = lambda b, i, l, kvl, kvc: (b, kvl[i * L + l], 0)
+
+    out_specs = pl.BlockSpec((1, bq, dp), qmap)
+    out_shape = jax.ShapeDtypeStruct((bh, sp_q, dp), q.dtype)
+    if return_lse:
+        out_specs = [out_specs, pl.BlockSpec((1, bq, 128), qmap)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((bh, sp_q, 128), jnp.float32)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), qmap),
+            pl.BlockSpec((1, bk, dp), kmap),
+            pl.BlockSpec((1, bk, dp), kmap),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _blk_flash_lse if return_lse else _blk_flash_no_lse,
+            sm_scale=sm_scale,
+            block_k=bk,
+            kv_len=s,
+            ell_width=L,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=get_config().vmem_limit_bytes,
+        ),
+        interpret=interpret_mode(),
+    )(
+        jnp.asarray(plan.kv_list.reshape(-1)),
+        jnp.asarray(plan.kv_cnt),
+        q3, k3, v3,
+    )
+    if return_lse:
+        o, lse = out
+        return (
+            o[:, :s, :d].reshape(*lead, s, d),
+            lse[:, :s, 0].reshape(*lead, s),
+        )
+    return out[:, :s, :d].reshape(*lead, s, d)
+
+
+def _blk_score_tile(q, k, lse, q_blk, kv_blk, bq, bk, q_len, kv_len, sm_scale):
+    """Recomputed P tile with padding masks from dynamic block ids."""
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        * sm_scale
+    )
+    q_pos = q_blk * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    key_pos = kv_blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where((key_pos < kv_len) & (q_pos < q_len), s, _NEG_INF)
+    return jnp.exp(s - lse)
+
+
+def _blk_dq_kernel(
+    kvl_ref, kvc_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    acc_scr,
+    *,
+    sm_scale, block_q, block_k, kv_len, ell_width,
+):
+    i = pl.program_id(1)
+    l = pl.program_id(2)
+    nl = pl.num_programs(2)
+
+    @pl.when(l == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(l < kvc_ref[i])
+    def _block():
+        kvb = kvl_ref[i * ell_width + l]
+        p = _blk_score_tile(
+            q_ref[0], k_ref[0], lse_ref[0, :, :1], i, kvb,
+            block_q, block_k, kv_len, kv_len, sm_scale,
+        )
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        ds = p * (dp - delta_ref[0, :, :1]) * sm_scale
+        acc_scr[:] += jnp.dot(
+            ds.astype(k_ref.dtype), k_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    @pl.when(l == nl - 1)
+    def _():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _blk_dkv_kernel(
+    ql_ref, qc_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *,
+    sm_scale, block_q, block_k, kv_len, ell_width,
+):
+    j = pl.program_id(1)
+    l = pl.program_id(2)
+    nl = pl.num_programs(2)
+
+    @pl.when(l == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(l < qc_ref[j])
+    def _block():
+        qb = ql_ref[j * ell_width + l]
+        p = _blk_score_tile(
+            q_ref[0], k_ref[0], lse_ref[0, :, :1], qb, j,
+            block_q, block_k, kv_len, kv_len, sm_scale,
+        )
+        pt = p.astype(do_ref.dtype)
+        dv_scr[:] += jax.lax.dot_general(
+            pt, do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        ds = (p * (dp - delta_ref[0, :, :1]) * sm_scale).astype(q_ref.dtype)
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    @pl.when(l == nl - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def block_flash_attention_bwd(
+    q, k, v, o, lse, do,
+    plan: BlockAttnPlan,
+    *,
+    sm_scale: float | None = None,
+):
+    """(dq, dk, dv) for the block-pattern kernel from the saved lse."""
+    *lead, s, d = q.shape
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    bq, bk = plan.block_q, plan.block_k
+    sp_q, sp_k = plan.nq * bq, plan.nk * bk
+    dp_ = round_up(d, 128)
+    bh = 1
+    for x in lead:
+        bh *= x
+
+    delta = jnp.einsum("...sd,...sd->...s", do, o).astype(jnp.float32)
+
+    def pad3(x, sp):
+        x = x.reshape(bh, s, d)
+        if (sp, dp_) != (s, d):
+            x = jnp.pad(x, ((0, 0), (0, sp - s), (0, dp_ - d)))
+        return x
+
+    def pad2(x, sp):
+        x = x.reshape(bh, s)
+        if sp != s:
+            x = jnp.pad(x, ((0, 0), (0, sp - s)))
+        return jnp.broadcast_to(x[:, :, None], (bh, sp, 128))
+
+    q3, do3 = pad3(q, sp_q), pad3(do, sp_q)
+    k3, v3 = pad3(k, sp_k), pad3(v, sp_k)
+    lse2, delta2 = pad2(lse, sp_q), pad2(delta, sp_q)
+
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=get_config().vmem_limit_bytes,
+        ),
+        interpret=interpret_mode(),
+    )
+    kw = dict(sm_scale=sm_scale, block_q=bq, block_k=bk, kv_len=s)
+
+    L = plan.L
+    qmap = lambda b, i, l, kvl, kvc: (b, i, 0)
+    kmap = lambda b, i, l, kvl, kvc: (b, kvl[i * L + l], 0)
+    dq = pl.pallas_call(
+        functools.partial(_blk_dq_kernel, ell_width=L, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, plan.nq, L),
+            in_specs=[
+                pl.BlockSpec((1, bq, dp_), qmap),
+                pl.BlockSpec((1, bk, dp_), kmap),
+                pl.BlockSpec((1, bk, dp_), kmap),
+                pl.BlockSpec((1, bq, dp_), qmap),
+                pl.BlockSpec((1, bq, 128), qmap),
+                pl.BlockSpec((1, bq, 128), qmap),
+            ],
+            out_specs=pl.BlockSpec((1, bq, dp_), qmap),
+            scratch_shapes=[pltpu.VMEM((bq, dp_), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sp_q, dp_), q.dtype),
+        **common,
+    )(
+        jnp.asarray(plan.kv_list.reshape(-1)),
+        jnp.asarray(plan.kv_cnt),
+        q3, k3, v3, do3, lse2, delta2,
+    )
+
+    Lt = plan.Lt
+    kfix = lambda b, j, l, ql, qc: (b, j, 0)
+    qdyn = lambda b, j, l, ql, qc: (b, ql[j * Lt + l], 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_blk_dkv_kernel, ell_width=Lt, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, plan.nk, Lt),
+            in_specs=[
+                pl.BlockSpec((1, bq, dp_), qdyn),
+                pl.BlockSpec((1, bk, dp_), kfix),
+                pl.BlockSpec((1, bk, dp_), kfix),
+                pl.BlockSpec((1, bq, dp_), qdyn),
+                pl.BlockSpec((1, bq, 128), qdyn),
+                pl.BlockSpec((1, bq, 128), qdyn),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, dp_), kfix),
+                pl.BlockSpec((1, bk, dp_), kfix),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, dp_), jnp.float32),
+                pltpu.VMEM((bk, dp_), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sp_k, dp_), k.dtype),
+            jax.ShapeDtypeStruct((bh, sp_k, dp_), v.dtype),
+        ],
+        **common,
+    )(
+        jnp.asarray(plan.q_list.reshape(-1)),
+        jnp.asarray(plan.q_cnt),
+        q3, k3, v3, do3, lse2, delta2,
+    )
+
+    unpad_q = lambda x: x[:, :s, :d].reshape(*lead, s, d)
+    return unpad_q(dq), unpad_q(dk), unpad_q(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def block_flash_attention_diff(q, k, v, plan, sm_scale=None):
+    """Differentiable block-pattern fused attention (Pallas fwd + bwd)."""
+    return block_flash_attention(q, k, v, plan, sm_scale=sm_scale)
+
+
+def _bfa_fwd(q, k, v, plan, sm_scale):
+    o, lse = block_flash_attention(
+        q, k, v, plan, sm_scale=sm_scale, return_lse=True
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _bfa_bwd(plan, sm_scale, res, g):
+    q, k, v, o, lse = res
+    return block_flash_attention_bwd(
+        q, k, v, o, lse, g, plan, sm_scale=sm_scale
+    )
+
+
+block_flash_attention_diff.defvjp(_bfa_fwd, _bfa_bwd)

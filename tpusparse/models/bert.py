@@ -37,7 +37,7 @@ class BertAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         head_dim = self.hidden // self.num_heads
-        if mask is not None and self.attention in ("local", "sparse"):
+        if mask is not None and self.attention in ("local", "sparse", "bigbird"):
             # these variants carry their masking in the pattern itself; a
             # user-supplied mask would be silently ignored otherwise
             raise ValueError(
@@ -59,10 +59,19 @@ class BertAttentionLayer(nn.Module):
                 num_global=self.num_global,
                 name="attention",
             )(x)
+        elif self.attention == "bigbird":
+            from tpusparse.nn.attention import BigBirdAttention
+
+            attn = BigBirdAttention(
+                num_heads=self.num_heads,
+                head_dim=head_dim,
+                block=self.window,
+                name="attention",
+            )(x)
         elif self.attention not in ("dense", "flash"):
             raise ValueError(
                 f"unknown attention {self.attention!r}; options: "
-                "'dense', 'flash', 'local', 'sparse'"
+                "'dense', 'flash', 'local', 'sparse', 'bigbird'"
             )
         else:
             attn = SelfAttention(

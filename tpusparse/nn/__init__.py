@@ -2,7 +2,9 @@ from tpusparse.nn.layers import DenseLinear, SparseLinear, BlockSparseLinear, Pa
 from tpusparse.nn.attention import (
     SelfAttention,
     SparseSelfAttention,
+    BigBirdAttention,
     bigbird_pattern,
+    bigbird_block_mask,
     LocalAttention,
     local_global_pattern,
 )
@@ -14,7 +16,9 @@ __all__ = [
     "Pattern",
     "SelfAttention",
     "SparseSelfAttention",
+    "BigBirdAttention",
     "bigbird_pattern",
+    "bigbird_block_mask",
     "LocalAttention",
     "local_global_pattern",
 ]

@@ -13,6 +13,7 @@ BERT") but never ships.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -292,3 +293,103 @@ class SelfAttention(nn.Module):
             ctx = ops.mm(probs, v)  # (b, heads, s, head_dim)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
         return DenseLinear(h, name="out")(ctx)
+
+
+def bigbird_block_mask(
+    seq: int,
+    block: int = 64,
+    window_blocks: int = 3,
+    num_global_blocks: int = 1,
+    num_random_blocks: int = 2,
+    seed: int = 0,
+) -> np.ndarray:
+    """The BigBird BLOCK-grid mask (nq, nk) — same three components as
+    `bigbird_pattern` (which expands it to token CSR for the SDDMM path);
+    this form feeds the fused block-flash kernel directly."""
+    if seq % block:
+        raise ValueError(f"seq {seq} must be a multiple of block {block}")
+    nb = seq // block
+    bi = np.arange(nb)[:, None]
+    bj = np.arange(nb)[None, :]
+    half = window_blocks // 2
+    allowed = np.abs(bi - bj) <= half
+    if num_global_blocks:
+        allowed |= bj < num_global_blocks
+        allowed |= bi < num_global_blocks
+    if num_random_blocks and nb > window_blocks + num_global_blocks:
+        rng = np.random.default_rng(seed)
+        for r in range(nb):
+            cand = np.flatnonzero(~allowed[r])
+            if cand.size:
+                pick = rng.choice(
+                    cand, size=min(num_random_blocks, cand.size), replace=False
+                )
+                allowed[r, pick] = True
+    return allowed
+
+
+class BigBirdAttention(nn.Module):
+    """Block-sparse attention on the fused block-flash kernel.
+
+    Closes the r1 gap where BigBird patterns fed the SDDMM +
+    segment-softmax path (per-nonzero gathers, ~90x slower than dense at
+    seq 1024 — RESULTS.md): here the pattern's kv-block lists ride scalar
+    prefetch into the flash kernel (kernels/flash_attention.py
+    block_flash_attention), so unlisted blocks are never fetched or
+    computed, the score matrix never exists, and every touched tile is
+    an MXU-dense product. Compute scales with pattern density; fwd AND
+    bwd are fused Pallas kernels (O(seq) memory).
+
+    Numerically identical to dense attention masked to the block pattern.
+    """
+
+    num_heads: int
+    head_dim: int
+    block: int = 64
+    window_blocks: int = 3
+    num_global_blocks: int = 1
+    num_random_blocks: int = 2
+    pattern_seed: int = 0
+
+    @nn.compact
+    def __call__(self, hidden):
+        from tpusparse.kernels.flash_attention import (
+            BlockAttnPlan,
+            block_flash_attention_diff,
+        )
+
+        b, s, h = hidden.shape
+        d = self.num_heads * self.head_dim
+        q = DenseLinear(d, name="query")(hidden)
+        k = DenseLinear(d, name="key")(hidden)
+        v = DenseLinear(d, name="value")(hidden)
+        mask = bigbird_block_mask(
+            s,
+            self.block,
+            self.window_blocks,
+            self.num_global_blocks,
+            self.num_random_blocks,
+            self.pattern_seed,
+        )
+        plan = _block_attn_plan_cached(
+            mask.tobytes(), mask.shape, self.block, s
+        )
+
+        def split(x):  # (b, s, d) -> (b*heads, s, hd)
+            x = x.reshape(b, s, self.num_heads, self.head_dim)
+            return x.transpose(0, 2, 1, 3).reshape(
+                b * self.num_heads, s, self.head_dim
+            )
+
+        ctx = block_flash_attention_diff(split(q), split(k), split(v), plan)
+        ctx = ctx.reshape(b, self.num_heads, s, self.head_dim)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return DenseLinear(h, name="out")(ctx)
+
+
+@functools.lru_cache(maxsize=64)
+def _block_attn_plan_cached(mask_bytes: bytes, mask_shape, block: int, seq: int):
+    from tpusparse.kernels.flash_attention import BlockAttnPlan
+
+    mask = np.frombuffer(mask_bytes, dtype=bool).reshape(mask_shape)
+    return BlockAttnPlan(mask, block, block, seq)
