@@ -282,3 +282,64 @@ def test_ulysses_heads_must_divide(rng):
     q = jnp.zeros((1, 6, 64, 8))
     with pytest.raises(ValueError, match="divide"):
         ulysses_attention(q, q, q, mesh, axis="seq")
+
+
+def test_moe_a2a_matches_reference(rng):
+    # VERDICT r1 item 9: the capacity-based all_to_all dispatch must match
+    # moe_forward_reference on the 8-way mesh with E=16 when capacity is
+    # lossless (capacity_factor >= E => C = T_local, nothing dropped)
+    from tpusparse.parallel.moe import (
+        init_moe_params,
+        moe_forward_a2a,
+        moe_forward_reference,
+    )
+
+    mesh = make_mesh((8,), ("expert",))
+    params = init_moe_params(jax.random.PRNGKey(1), num_experts=16,
+                             d_model=16, d_hidden=32)
+    x = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    ref = moe_forward_reference(params, x)
+    out = moe_forward_a2a(params, x, mesh, capacity_factor=16.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # gradients flow through the two all_to_alls
+    def loss(p):
+        return jnp.sum(moe_forward_a2a(p, x, mesh, capacity_factor=16.0) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+    assert float(jnp.abs(g["router"]).max()) > 0
+    assert float(jnp.abs(g["w_in"]).max()) > 0
+
+
+def test_moe_a2a_capacity_drops(rng):
+    # over-capacity tokens must produce exactly zero output (the switch
+    # estimator), and kept tokens must still match the reference
+    from tpusparse.parallel.moe import (
+        init_moe_params,
+        moe_forward_a2a,
+        moe_forward_reference,
+    )
+
+    mesh = make_mesh((8,), ("expert",))
+    params = init_moe_params(jax.random.PRNGKey(2), num_experts=8,
+                             d_model=8, d_hidden=16)
+    x = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    out = moe_forward_a2a(params, x, mesh, capacity_factor=1.0)
+    ref = moe_forward_reference(params, x)
+    o, r = np.asarray(out), np.asarray(ref)
+    # every row is either the reference value (kept) or exactly 0 (dropped)
+    kept = np.isclose(o, r, rtol=1e-5, atol=1e-6).all(axis=1)
+    dropped = (o == 0.0).all(axis=1)
+    assert (kept | dropped).all()
+    assert kept.any()
+
+
+def test_moe_a2a_token_count_must_divide(rng):
+    from tpusparse.parallel.moe import init_moe_params, moe_forward_a2a
+
+    mesh = make_mesh((8,), ("expert",))
+    params = init_moe_params(jax.random.PRNGKey(0), 8, 8, 16)
+    with pytest.raises(ValueError, match="divide"):
+        moe_forward_a2a(params, jnp.zeros((30, 8)), mesh)

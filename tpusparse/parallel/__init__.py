@@ -47,11 +47,18 @@ __all__ += ["pipeline_apply"]
 from tpusparse.parallel.moe import (
     init_moe_params,
     moe_forward,
+    moe_forward_a2a,
     moe_forward_reference,
     load_balance_loss,
 )
 
-__all__ += ["init_moe_params", "moe_forward", "moe_forward_reference", "load_balance_loss"]
+__all__ += [
+    "init_moe_params",
+    "moe_forward",
+    "moe_forward_a2a",
+    "moe_forward_reference",
+    "load_balance_loss",
+]
 from tpusparse.parallel.gcn import (
     make_sharded_gcn_forward,
     make_sharded_gcn_train_step,

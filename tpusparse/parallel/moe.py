@@ -91,6 +91,87 @@ def moe_forward(
     return out * gate[:, None]
 
 
+def moe_forward_a2a(
+    params,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "expert",
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """Capacity-based all_to_all expert dispatch — the large-E form.
+
+    Same API and routing semantics as `moe_forward`, but tokens are
+    sharded over `axis` and each token is SHIPPED to its expert's owner
+    device instead of every device running every token: per shard, the
+    top-1 assignments are packed into an (E, C, d) dispatch buffer
+    (C = ceil(capacity_factor · T_local / E) slots per expert; tokens
+    over capacity are dropped to zero output, the standard switch
+    estimator), exchanged with one `lax.all_to_all`, run through the
+    local experts, and returned by the reverse all_to_all. Compute per
+    device is (E/P)·(P·C) rows instead of (E/P)·T_total — the right
+    trade when E is large and routing is balanced. With
+    capacity_factor ≥ E the dispatch is lossless and matches
+    `moe_forward_reference` exactly (the parity test's setting).
+    """
+    E = params["w_in"].shape[0]
+    d = x.shape[-1]
+    nshards = mesh.shape[axis]
+    if E % nshards != 0:
+        raise ValueError(f"num_experts {E} must divide shards {nshards}")
+    if x.shape[0] % nshards != 0:
+        raise ValueError(
+            f"token count {x.shape[0]} must divide shards {nshards}"
+        )
+    e_local = E // nshards
+    t_local = x.shape[0] // nshards
+    cap = int(np.ceil(capacity_factor * t_local / E))
+
+    def body(w_in_l, w_out_l, router, x_l):
+        logits = x_l @ router
+        probs = jax.nn.softmax(logits, axis=-1)
+        assign = jnp.argmax(probs, axis=-1)
+        gate = jnp.take_along_axis(probs, assign[:, None], axis=1)[:, 0]
+
+        # bucket position of each token within its expert (running count)
+        onehot = jax.nn.one_hot(assign, E, dtype=jnp.int32)
+        pos = jnp.take_along_axis(
+            jnp.cumsum(onehot, axis=0) - 1, assign[:, None], axis=1
+        )[:, 0]
+        keep = pos < cap
+        slot = jnp.where(keep, pos, cap - 1)
+
+        # dispatch buffer: dropped tokens scatter zeros (add keeps the
+        # collision at slot cap-1 harmless)
+        disp = jnp.zeros((E, cap, d), x_l.dtype)
+        disp = disp.at[assign, slot].add(
+            jnp.where(keep[:, None], x_l, 0.0)
+        )
+        # ship each expert's bucket to its owner shard; received layout
+        # is (source_shard, local_expert, cap, d)
+        disp = disp.reshape(nshards, e_local, cap, d)
+        recv = lax.all_to_all(disp, axis, split_axis=0, concat_axis=0)
+
+        outs = []
+        for le in range(e_local):
+            tok = recv[:, le].reshape(nshards * cap, d)
+            h = jax.nn.relu(tok @ w_in_l[le]) @ w_out_l[le]
+            outs.append(h.reshape(nshards, cap, d))
+        out_buf = jnp.stack(outs, axis=1)  # (source, e_local, cap, d)
+
+        # return results to the token owners (exact reverse exchange)
+        back = lax.all_to_all(out_buf, axis, split_axis=0, concat_axis=0)
+        back = back.reshape(E, cap, d)
+        y = back[assign, slot]
+        return jnp.where(keep[:, None], y, 0.0) * gate[:, None]
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(axis)),
+        out_specs=P(axis),
+    )(params["w_in"], params["w_out"], params["router"], x)
+
+
 def load_balance_loss(params, x: jnp.ndarray) -> jnp.ndarray:
     """Switch-transformer auxiliary loss: E · Σ_e f_e · p_e, where f_e is
     the fraction of tokens routed to expert e and p_e the mean router
