@@ -267,6 +267,54 @@ def main():
         "speedup_vs_3pass": t_dn / t_fl,
     }
 
+    # ---- detail: BigBird block-pattern flash attention at seq 4096 ----------
+    # same matched-bf16 protocol as the flash row (its dots are single-pass
+    # bf16); local/dense numbers above give the cross-method context
+    from tpusparse.nn import BigBirdAttention
+
+    bb = BigBirdAttention(num_heads=12, head_dim=64, block=128,
+                          window_blocks=3, num_global_blocks=1,
+                          num_random_blocks=2)
+    bparams = bb.init(jax.random.PRNGKey(8), xl)
+    set_config(precision="default")
+    try:
+        t_bb = device_time_per_iter(
+            lambda v: norm(bb.apply(bparams, v)), xl, iters_lo=2, iters_hi=6
+        )
+    finally:
+        set_config(precision="high")
+    details["bigbird_attention_seq4096"] = {
+        "bigbird_ms": t_bb * 1e3,
+        "local_ms": t_loc * 1e3,
+        "dense_bf16_ms": t_dn_bf16 * 1e3,
+        "speedup_vs_dense_bf16": t_dn_bf16 / t_bb,
+        "vs_local": t_loc / t_bb,
+    }
+
+    # ---- detail: int8 serving path on the headline operands -----------------
+    from tpusparse.kernels.tiled_spmm import resident_spmm_int8_pallas
+    from tpusparse.quant import quantize_block_values, quantize_columns
+
+    a_head = block_sparse_csr(1, (m, k), (128, 128), 0.10)
+    plan_h = build_plan(a_head, blocksize=(128, 128))
+    qv, sc = quantize_block_values(plan_h.pack_values(a_head.data))
+    b_h = jax.random.uniform(jax.random.PRNGKey(1), (k, 512))
+    qb, tb = quantize_columns(b_h)
+    qb, tb = jax.device_put(np.asarray(qb)), jax.device_put(np.asarray(tb))
+
+    def int8_step(x):
+        dep = (x[0, 0] * 0).astype(jnp.int8)
+        y = resident_spmm_int8_pallas(plan_h, qv, sc, qb + dep, tb)
+        return y / (1.0 + jnp.abs(y).max())
+
+    t_i8 = device_time_per_iter(int8_step, b_h)
+    details["int8_resident_headline"] = {
+        "int8_ms": t_i8 * 1e3,
+        "fp32_resident_ms": head["sparse_ms"],
+        "speedup_vs_fp32_resident": head["sparse_ms"] / (t_i8 * 1e3),
+        "effective_tflops": 2.0 * a_head.nnz * 512 / t_i8 / 1e12,
+    }
+
     # merge-preserve: other benchmarks (AMG, DIA, ...) record their own
     # keys in this file; only overwrite the keys this run produced
     try:

@@ -64,6 +64,15 @@ def gemm_pallas(
     out_dtype = out_dtype or jnp.result_type(a.dtype, b.dtype)
 
     # MXU/VPU-aligned tiles: sublane multiples of 8, lane multiples of 128.
+    # Size-adaptive defaults from the r2 interleaved-median sweep on v5e:
+    # ≤4096-class problems run fastest with the full-N-span (1024, N, 512)
+    # tile (177-214 TF, 0.90-1.02x XLA across tenancy swings); larger
+    # problems with the config defaults (2048, 1024, 512) — measured XLA
+    # parity at 8192² (167.0 vs 166.7 TF). Explicit block_* args override.
+    if block_m is None and block_n is None and block_k is None and (
+        max(m, n, k) <= 4096
+    ):
+        block_m, block_n, block_k = 1024, 4096, 512
     bm = min(block_m or cfg.gemm_block_m, round_up(m, 8))
     bn = min(block_n or cfg.gemm_block_n, round_up(n, 128))
     bk = min(block_k or cfg.gemm_block_k, round_up(k, 128))
