@@ -66,18 +66,37 @@ def bench_matrix(name, n_cols, seed, logger, full):
     routed = _route_spmm(a, b, None)
     rec["routed"] = routed
 
+    # eager device copies of the pattern arrays: closure-captured device
+    # buffers ride the compiled program as parameters, while host numpy
+    # would embed as HLO literals — at 26.8M nnz a ~107 MB compile
+    # payload the axon tunnel rejects (HTTP 413). Plan-based methods
+    # still read the HOST arrays for inspection (a.indices), so keep both.
+    import jax as _jax
+
+    idx_dev = _jax.device_put(np.asarray(a.indices))
+    iptr_dev = _jax.device_put(np.asarray(a.indptr))
+
     def time_method(method):
+        plan_based = method in ("tiled", "resident", "footprint", "dia")
+
         def step(x):
             vals, bb = x
-            a2 = ts.CSR(data=vals, indices=a.indices, indptr=a.indptr,
-                        shape=a.shape)
+            if plan_based:
+                a2 = ts.CSR(data=vals, indices=a.indices, indptr=a.indptr,
+                            shape=a.shape)
+            else:
+                a2 = ts.CSR(data=vals, indices=idx_dev, indptr=iptr_dev,
+                            shape=a.shape)
             return vals, normalizing(
                 lambda v: ts.spmm(a2, v, method=method)
             )(bb)
 
         return device_time_per_iter(step, (a.data, b), **TIMER) * 1e3
 
-    rec["auto_ms"] = time_method("auto")
+    # time what 'auto' dispatches (the route itself was computed above
+    # from the host pattern; re-deriving it inside the timed closure from
+    # device arrays would pull ~100MB back through the tunnel)
+    rec["auto_ms"] = time_method(routed)
     rec["auto_gnnz_col_s"] = a.nnz * n_cols / rec["auto_ms"] / 1e6
 
     contenders = ["gather"]

@@ -116,16 +116,42 @@ class Plan:
         return self.num_row_blocks * self.ell_width
 
     # -- value packing (jittable; runs every call, pattern-free) ------------
+    def _scatter_operand(self):
+        """scatter_idx as a DEVICE array when safely possible.
+
+        A host-numpy index array referenced inside a jit trace embeds as
+        an HLO literal — at 26.8M nnz that is a ~107 MB constant in the
+        compile payload, which the axon tunnel rejects outright
+        (remote_compile HTTP 413). A device buffer instead rides as an
+        executable parameter. The device_put must happen EAGERLY (doing
+        it mid-trace would just re-embed the constant), so fall back to
+        the numpy array when called under a trace without a cached copy.
+        """
+        dev = getattr(self, "_scatter_dev", None)
+        if dev is not None:
+            return dev
+        try:
+            clean = jax.core.trace_state_clean()
+        except AttributeError:  # older jax
+            clean = False
+        if clean and not isinstance(self.scatter_idx, jax.core.Tracer):
+            dev = jax.device_put(np.asarray(self.scatter_idx))
+            # instance-cached via object.__setattr__ (frozen dataclass);
+            # not a dataclass field, so flatten/eq/hash are untouched
+            object.__setattr__(self, "_scatter_dev", dev)
+            return dev
+        return self.scatter_idx
+
     def pack_values(self, data: jnp.ndarray) -> jnp.ndarray:
         """Scatter CSR value vector into ELL block form (num_slots, bm, bk)."""
         bm, bk = self.blocksize
         flat = jnp.zeros((self.num_slots * bm * bk,), dtype=data.dtype)
-        flat = flat.at[self.scatter_idx].set(data)
+        flat = flat.at[self._scatter_operand()].set(data)
         return flat.reshape(self.num_slots, bm, bk)
 
     def unpack_values(self, block_vals: jnp.ndarray) -> jnp.ndarray:
         """Gather per-nonzero values back out of block form (for dA grads)."""
-        return block_vals.reshape(-1)[self.scatter_idx]
+        return block_vals.reshape(-1)[self._scatter_operand()]
 
     def slot_valid_mask(self) -> jnp.ndarray:
         """(nbr, L) 1/0 mask of valid (non-pad) ELL slots (jittable)."""

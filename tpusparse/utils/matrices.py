@@ -46,6 +46,21 @@ DEFAULT_SEARCH_DIRS = (
 )
 
 
+def _host_csr(sp_csr) -> CSR:
+    """CSR with HOST-numpy pattern arrays (and host data): patterns are
+    trace-time constants here (repo convention), and keeping them off the
+    device avoids the tunnel's ~100MB/8min device->host indices pull when
+    the router/inspector reads them back (measured on blocked_16k)."""
+    import jax.numpy as jnp
+
+    return CSR(
+        data=jnp.asarray(sp_csr.data),
+        indices=np.ascontiguousarray(sp_csr.indices.astype(np.int32)),
+        indptr=np.ascontiguousarray(sp_csr.indptr.astype(np.int32)),
+        shape=(int(sp_csr.shape[0]), int(sp_csr.shape[1])),
+    )
+
+
 def load_mtx(path: str, dtype=np.float32) -> CSR:
     """Read a Matrix Market file (.mtx or .mtx.gz) into CSR.
 
@@ -67,7 +82,7 @@ def load_mtx(path: str, dtype=np.float32) -> CSR:
     csr.sort_indices()
     csr.sum_duplicates()
     csr = csr.astype(dtype)
-    return CSR.from_scipy(csr)
+    return _host_csr(csr)
 
 
 def save_mtx(path: str, a: CSR, comment: str = "") -> None:
@@ -270,7 +285,7 @@ def generate(name: str) -> CSR:
         raise KeyError(
             f"unknown matrix {name!r}; catalog: {sorted(MATRIX_CATALOG)}"
         )
-    return CSR.from_scipy(MATRIX_CATALOG[name].build())
+    return _host_csr(MATRIX_CATALOG[name].build())
 
 
 def find_mtx(name: str, search_dirs: Optional[Sequence[str]] = None) -> Optional[str]:
