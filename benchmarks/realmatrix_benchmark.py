@@ -31,7 +31,7 @@ FULL_SET = ["laplace2d_1024", "laplace3d_64", "powerlaw_100k", "circuit_50k",
             "blocked_16k"]
 
 
-def bench_matrix(name, n_cols, seed, logger, full):
+def bench_matrix(name, n_cols, seed, logger, full, amg=False):
     import jax
     import numpy as np
 
@@ -77,15 +77,34 @@ def bench_matrix(name, n_cols, seed, logger, full):
     iptr_dev = _jax.device_put(np.asarray(a.indptr))
 
     def time_method(method):
-        plan_based = method in ("tiled", "resident", "footprint", "dia")
+        if method in ("tiled", "resident", "footprint"):
+            # plan-reuse path: pre-pack eagerly and thread the packed
+            # values as ARGUMENTS of the timed program. One-shot spmm
+            # would close over the nnz-sized scatter/index arrays, and
+            # closed-over arrays (host OR device) embed as HLO literals —
+            # at 26.8M nnz a ~107MB compile payload the axon tunnel
+            # rejects (HTTP 413). spmm_blocks runs the identical executor
+            # dispatch (resident/ELL) as one-shot method='tiled'.
+            from tpusparse.plan import build_plan
+
+            plan = build_plan(a)
+            bv = plan.pack_values(a.data)
+            bv.block_until_ready()
+
+            def step(x):
+                bv_, bb = x
+                return bv_, normalizing(
+                    lambda v: ts.spmm_blocks(plan, bv_, v)
+                )(bb)
+
+            return device_time_per_iter(step, (bv, b), **TIMER) * 1e3
 
         def step(x):
             vals, bb = x
-            if plan_based:
+            a2 = ts.CSR(data=vals, indices=idx_dev, indptr=iptr_dev,
+                        shape=a.shape)
+            if method == "dia":  # dia inspection needs host arrays
                 a2 = ts.CSR(data=vals, indices=a.indices, indptr=a.indptr,
-                            shape=a.shape)
-            else:
-                a2 = ts.CSR(data=vals, indices=idx_dev, indptr=iptr_dev,
                             shape=a.shape)
             return vals, normalizing(
                 lambda v: ts.spmm(a2, v, method=method)
@@ -134,11 +153,43 @@ def bench_matrix(name, n_cols, seed, logger, full):
         t = device_time_per_iter(cg_step, (a.data, rhs), **TIMER)
         rec["cg_ms_per_iter"] = t * 1e3 / n_iter
 
+    # AMG-preconditioned CG on the FEM classes (opt-in: setup is a
+    # host-side multigrid hierarchy build, ~25 s at 1M rows)
+    if amg and pclass in ("banded FEM", "banded FEM (3-D)"):
+        import time as _time
+
+        from tpusparse.amg import amg_preconditioner
+
+        t0 = _time.time()
+        M_amg = amg_preconditioner(a)
+        rec["amg_setup_s"] = _time.time() - t0
+        rhs = jax.random.uniform(jax.random.PRNGKey(seed + 1), (m,))
+        n_iter = 40 if full else 10
+
+        def amg_step(x):
+            vals, r = x
+            a2 = ts.CSR(data=vals, indices=a.indices, indptr=a.indptr,
+                        shape=a.shape)
+            sol, _ = cg(a2, r, tol=0.0, maxiter=n_iter, M=M_amg)
+            return vals, sol
+
+        t = device_time_per_iter(amg_step, (a.data, rhs), **TIMER)
+        rec["amg_cg_ms_per_iter"] = t * 1e3 / n_iter
+        # convergence check: relative residual after n_iter AMG-CG iters
+        x_sol, _ = cg(a, rhs, tol=0.0, maxiter=n_iter, M=M_amg)
+        resid = np.asarray(ts.spmm(a, x_sol)) - np.asarray(rhs)
+        rec["amg_rel_resid"] = float(
+            np.linalg.norm(resid) / np.linalg.norm(np.asarray(rhs))
+        )
+
     log_and_print(
         logger,
         f"{name} [{pclass}] nnz={rec['nnz']} routed={routed} "
         + " ".join(f"{k_}={v:.3f}" for k_, v in rec.items() if k_.endswith("_ms"))
         + (f" cg/iter={rec['cg_ms_per_iter']:.3f}ms" if "cg_ms_per_iter" in rec else "")
+        + (f" amg-cg/iter={rec['amg_cg_ms_per_iter']:.3f}ms"
+           f" (setup {rec['amg_setup_s']:.0f}s, resid {rec['amg_rel_resid']:.1e})"
+           if "amg_cg_ms_per_iter" in rec else "")
         + f" router_ok={rec['router_ok']}",
     )
     return rec
@@ -149,6 +200,9 @@ def main():
     p.add_argument("--n-cols", type=int, default=256)
     p.add_argument("--mtx", nargs="*", default=None,
                    help="matrices to run (default: one per pattern class)")
+    p.add_argument("--amg", action="store_true",
+                   help="also time AMG-preconditioned CG on FEM classes "
+                   "(host-side hierarchy setup, ~25s at 1M rows)")
     args = p.parse_args()
     jax = setup_platform(cpu=args.cpu)
     logger = get_logger("realmatrix", "realmatrix_benchmark.log")
@@ -164,9 +218,11 @@ def main():
     results = []
     for name in names:
         results.append(bench_matrix(name, args.n_cols, args.seed, logger,
-                                    args.full))
-    with open(artifact_path("realmatrix_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+                                    args.full, amg=args.amg))
+        # incremental dump: a 26.8M-nnz matrix can take most of an hour
+        # through the tunnel — don't lose the finished rows to a late crash
+        with open(artifact_path("realmatrix_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
     n_ok = sum(r["router_ok"] for r in results)
     log_and_print(logger, f"router validated on {n_ok}/{len(results)} matrices")
 

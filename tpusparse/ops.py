@@ -292,13 +292,33 @@ def tiled_spmm(
 
 
 @jax.custom_vjp
-def spmm_blocks(plan: Plan, blocks, b):
-    """C = A @ B where A is given as the plan's packed ELL blocks."""
+def _spmm_blocks_vjp(plan: Plan, blocks, b):
     return _block_exec(plan, blocks, b)
 
 
+def spmm_blocks(plan: Plan, blocks, b):
+    """C = A @ B where A is given as the plan's packed ELL blocks.
+
+    Neither the executors nor this op's backward read plan.scatter_idx
+    (values are already packed), so it is stripped before the
+    custom_vjp: pytree leaves staged through a custom_vjp embed as HLO
+    literals under jit, and an nnz-sized scatter array (~107MB at 26.8M
+    nnz) exceeds the axon tunnel's compile-payload limit (HTTP 413).
+    """
+    import dataclasses
+
+    if (
+        isinstance(plan.scatter_idx, np.ndarray)
+        and plan.scatter_idx.size > 0
+    ):
+        plan = dataclasses.replace(
+            plan, scatter_idx=np.zeros((0,), np.int32)
+        )
+    return _spmm_blocks_vjp(plan, blocks, b)
+
+
 def _spmm_blocks_fwd(plan, blocks, b):
-    return spmm_blocks(plan, blocks, b), (plan, blocks, b)
+    return _spmm_blocks_vjp(plan, blocks, b), (plan, blocks, b)
 
 
 def _db_blocks_traced(plan: Plan, blocks, g):
@@ -357,7 +377,7 @@ def _spmm_blocks_bwd(res, g):
     return _zeros_tangent(plan), dblocks, db.astype(b.dtype)
 
 
-spmm_blocks.defvjp(_spmm_blocks_fwd, _spmm_blocks_bwd)
+_spmm_blocks_vjp.defvjp(_spmm_blocks_fwd, _spmm_blocks_bwd)
 
 
 # ----------------------------------------------------------------------------

@@ -116,42 +116,23 @@ class Plan:
         return self.num_row_blocks * self.ell_width
 
     # -- value packing (jittable; runs every call, pattern-free) ------------
-    def _scatter_operand(self):
-        """scatter_idx as a DEVICE array when safely possible.
-
-        A host-numpy index array referenced inside a jit trace embeds as
-        an HLO literal — at 26.8M nnz that is a ~107 MB constant in the
-        compile payload, which the axon tunnel rejects outright
-        (remote_compile HTTP 413). A device buffer instead rides as an
-        executable parameter. The device_put must happen EAGERLY (doing
-        it mid-trace would just re-embed the constant), so fall back to
-        the numpy array when called under a trace without a cached copy.
-        """
-        dev = getattr(self, "_scatter_dev", None)
-        if dev is not None:
-            return dev
-        try:
-            clean = jax.core.trace_state_clean()
-        except AttributeError:  # older jax
-            clean = False
-        if clean and not isinstance(self.scatter_idx, jax.core.Tracer):
-            dev = jax.device_put(np.asarray(self.scatter_idx))
-            # instance-cached via object.__setattr__ (frozen dataclass);
-            # not a dataclass field, so flatten/eq/hash are untouched
-            object.__setattr__(self, "_scatter_dev", dev)
-            return dev
-        return self.scatter_idx
-
+    # NOTE: scatter_idx referenced under a jit trace embeds as an HLO
+    # literal (closed-over DEVICE arrays embed all the same — measured).
+    # At 26.8M nnz that is a ~107MB compile payload, which the axon
+    # tunnel rejects (remote_compile HTTP 413). Callers who jit over
+    # huge patterns must pre-pack eagerly and carry packed values as
+    # ARGUMENTS (spmm_blocks — the inspect-once/execute-many path), as
+    # bench.py and realmatrix_benchmark do.
     def pack_values(self, data: jnp.ndarray) -> jnp.ndarray:
         """Scatter CSR value vector into ELL block form (num_slots, bm, bk)."""
         bm, bk = self.blocksize
         flat = jnp.zeros((self.num_slots * bm * bk,), dtype=data.dtype)
-        flat = flat.at[self._scatter_operand()].set(data)
+        flat = flat.at[self.scatter_idx].set(data)
         return flat.reshape(self.num_slots, bm, bk)
 
     def unpack_values(self, block_vals: jnp.ndarray) -> jnp.ndarray:
         """Gather per-nonzero values back out of block form (for dA grads)."""
-        return block_vals.reshape(-1)[self._scatter_operand()]
+        return block_vals.reshape(-1)[self.scatter_idx]
 
     def slot_valid_mask(self) -> jnp.ndarray:
         """(nbr, L) 1/0 mask of valid (non-pad) ELL slots (jittable)."""
@@ -390,15 +371,25 @@ def block_transpose_plan(plan: Plan):
     return out
 
 
+_PAIR_CACHE: Dict[str, tuple] = {}
+
+
 def build_plan_pair(pattern: CSR, blocksize: Optional[Shape2] = None):
     """(plan for A, plan for Aᵀ, permutation mapping A.data -> Aᵀ.data).
 
     The transpose plan drives the dB = Aᵀ·dC backward SpMM
     (reference backward: matmuls.py:100-102 / :253-254).
+
+    Cached by pattern fingerprint (the t_perm lexsort over nnz would
+    otherwise rerun on every call — seconds at tens of millions of nnz).
     """
     plan = build_plan(pattern, blocksize)
     indptr = np.asarray(pattern.indptr)
     indices = np.asarray(pattern.indices).astype(np.int64)
+    key = _fingerprint(pattern.shape, plan.blocksize, indptr, indices.astype(np.int32))
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
     m, k = pattern.shape
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
     t_perm = np.lexsort((rows, indices))  # sort by (col, row): Aᵀ CSR order
@@ -415,7 +406,9 @@ def build_plan_pair(pattern: CSR, blocksize: Optional[Shape2] = None):
         shape=(k, m),
     )
     plan_t = build_plan(pattern_t, (bk, bm))
-    return plan, plan_t, t_perm.astype(np.int32)
+    out = (plan, plan_t, t_perm.astype(np.int32))
+    _PAIR_CACHE[key] = out
+    return out
 
 
 # -- compact plan (padding-free executor layout) -------------------------------
@@ -930,4 +923,6 @@ def plan_cache_info() -> Dict[str, int]:
 
 def clear_plan_cache():
     _PLAN_CACHE.clear()
+    _PAIR_CACHE.clear()
+    _BLOCK_T_CACHE.clear()
     _CACHE_STATS.update(hits=0, misses=0)
