@@ -272,7 +272,7 @@ def main():
     # bf16); local/dense numbers above give the cross-method context
     from tpusparse.nn import BigBirdAttention
 
-    bb = BigBirdAttention(num_heads=12, head_dim=64, block=128,
+    bb = BigBirdAttention(num_heads=12, head_dim=64, block=256,
                           window_blocks=3, num_global_blocks=1,
                           num_random_blocks=2)
     bparams = bb.init(jax.random.PRNGKey(8), xl)

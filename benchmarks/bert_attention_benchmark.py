@@ -86,8 +86,11 @@ def main():
         # (the SDDMM path) is excluded — it is the ~90x-slower general-
         # pattern engine bigbird replaces
         for attention in ("dense", "flash", "local", "bigbird"):
+            # local's banded fast path peaks at window 128; the bigbird
+            # block-flash kernel is tile-bound below block 256 (measured)
+            w = 256 if attention == "bigbird" else 128
             r = bench_layer(4096, max(args.batch // 4, 1), args.seed,
-                            attention=attention, window=128)
+                            attention=attention, window=w)
             results.append(r)
             log_and_print(
                 logger,
