@@ -54,16 +54,21 @@ def main():
 
     from tpusparse.dense import matmul as ts_dense_matmul
 
-    def run_pair(a, n, blocksize, key=1):
+    def run_pair(a, n, blocksize, key=1, extras=None):
         """Matched-precision comparison: both sides run the framework's
         3-pass bf16 fp32 mode (~1e-6 rel err, the torch fp32 fidelity
         class) — the sparse kernel is never graded against a dense
-        baseline running at a different pass count."""
+        baseline running at a different pass count. `extras` (a dict)
+        receives the built operands so later sections (int8, bf16 tier)
+        reuse them — a second 16384² to_dense + 1 GB tunnel transfer
+        costs minutes of bench budget."""
         k = a.shape[1]
         b0 = jax.random.uniform(jax.random.PRNGKey(key), (k, n))
         plan = build_plan(a, blocksize=blocksize)
         bv = plan.pack_values(a.data)
         a_dense = a.to_dense()
+        if extras is not None:
+            extras.update(plan=plan, bv=bv, a_dense=a_dense, b0=b0)
 
         def dense_step(x):
             A, b = x
@@ -146,7 +151,9 @@ def main():
     m = k = 16384
 
     # ---- headline: block-sparse 10% of 128x128 blocks, n=512 ---------------
-    head = run_pair(block_sparse_csr(1, (m, k), (128, 128), 0.10), 512, (128, 128))
+    a_head = block_sparse_csr(1, (m, k), (128, 128), 0.10)
+    head_ops = {}
+    head = run_pair(a_head, 512, (128, 128), extras=head_ops)
     details["block_sparse_10pct"] = head
 
     # ---- detail: unstructured ultra-sparse (reference tiled-test regime) ---
@@ -295,10 +302,8 @@ def main():
     from tpusparse.kernels.tiled_spmm import resident_spmm_int8_pallas
     from tpusparse.quant import quantize_block_values, quantize_columns
 
-    a_head = block_sparse_csr(1, (m, k), (128, 128), 0.10)
-    plan_h = build_plan(a_head, blocksize=(128, 128))
-    qv, sc = quantize_block_values(plan_h.pack_values(a_head.data))
-    b_h = jax.random.uniform(jax.random.PRNGKey(1), (k, 512))
+    plan_h, b_h = head_ops["plan"], head_ops["b0"]
+    qv, sc = quantize_block_values(head_ops["bv"])
     qb, tb = quantize_columns(b_h)
     qb, tb = jax.device_put(np.asarray(qb)), jax.device_put(np.asarray(tb))
 
@@ -313,6 +318,50 @@ def main():
         "fp32_resident_ms": head["sparse_ms"],
         "speedup_vs_fp32_resident": head["sparse_ms"] / (t_i8 * 1e3),
         "effective_tflops": 2.0 * a_head.nnz * 512 / t_i8 / 1e12,
+    }
+
+    # ---- detail: bf16 training tier on the headline operands ----------------
+    # precision='default' = single-pass bf16 MXU dots (standard TPU training
+    # numerics); matched bf16 dense baseline. Completes the tier table:
+    # fp32-class (3-pass) / bf16 training / int8 serving.
+    from tpusparse.utils.config import set_config as _set_config
+
+    bv_h = head_ops["bv"]
+
+    def bf16_sparse_step(x):
+        bv_, bb = x
+        return bv_, norm(_block_exec(plan_h, bv_, bb))
+
+    def bf16_dense_step(x):
+        A, bb = x
+        return A, norm(ts_dense_matmul(A, bb))
+
+    a_head_dense = head_ops["a_dense"]
+    _set_config(precision="default")
+    try:
+        t_s16 = device_time_per_iter(bf16_sparse_step, (bv_h, b_h), repeats=5)
+        t_d16 = device_time_per_iter(bf16_dense_step, (a_head_dense, b_h))
+        out16 = np.asarray(_block_exec(plan_h, bv_h, b_h))
+    finally:
+        _set_config(precision="high")
+    ref16 = np.asarray(
+        jnp.matmul(a_head_dense, b_h, precision=jax.lax.Precision.HIGHEST)
+    )
+    rel16 = float(
+        np.abs(out16 - ref16).max() / max(np.abs(ref16).max(), 1.0)
+    )
+    assert 2e-5 < rel16 < 3e-2, (
+        f"bf16 tier fidelity {rel16}: <2e-5 means the precision switch "
+        "didn't reach the kernel (stale jit cache, 3-pass is <5e-6 here), "
+        ">3e-2 means broken"
+    )
+    details["bf16_tier_headline"] = {
+        "sparse_ms": t_s16 * 1e3,
+        "dense_bf16_ms": t_d16 * 1e3,
+        "speedup": t_d16 / t_s16,
+        "vs_fp32_3pass_sparse": head["sparse_ms"] / (t_s16 * 1e3),
+        "effective_gflops": 2.0 * a_head.nnz * 512 / t_s16 / 1e9,
+        "rel_err": rel16,
     }
 
     # merge-preserve: other benchmarks (AMG, DIA, ...) record their own

@@ -22,19 +22,9 @@ from common import base_parser, get_logger, log_and_print, setup_platform
 
 
 def make_block_csr(m, k, bm, bk, fill, seed):
-    import scipy.sparse as sp
+    from tpusparse.utils.matrices import block_structured_csr
 
-    r = np.random.default_rng(seed)
-    mask = r.random((m // bm, k // bk)) < fill
-    for i in range(m // bm):
-        if not mask[i].any():
-            mask[i, r.integers(0, k // bk)] = True
-    rows, cols = np.nonzero(mask)
-    vals = r.standard_normal((len(rows), bm, bk)).astype(np.float32)
-    indptr = np.concatenate(
-        [[0], np.cumsum(np.bincount(rows, minlength=m // bm))]
-    )
-    return sp.bsr_matrix((vals, cols, indptr), shape=(m, k)).tocsr()
+    return block_structured_csr(m, k, bm, bk, fill, seed=seed)
 
 
 def main():

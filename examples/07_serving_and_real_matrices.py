@@ -86,7 +86,8 @@ print(f"BigBird attention: {mask.mean():.0%} of blocks computed, "
 
 # --- router self-calibration (persist a per-chip cost-model fit) ----------
 # ts.calibrate() measures on a real TPU and persists; here we just show
-# the constants in effect (a saved fit loads automatically at import)
+# the constants in effect (a saved fit for THIS backend/device kind
+# loads automatically on first routing use)
 consts = ts.ops.get_cost_constants()
 print(f"router constants in effect: dense {consts['dense_fp32_flops']/1e12:.0f} "
       f"TFLOP/s, gather {consts['gather_row_bw']/1e9:.0f} GB/s, "

@@ -72,8 +72,20 @@ def test_import_loader_applies_fit(tmp_path, monkeypatch, restore_constants):
     p = str(tmp_path / "cal.json")
     save_calibration({"tiled_bw": 42e9}, p)
     monkeypatch.setenv("TPUSPARSE_CALIBRATION", p)
-    ops._load_calibration_into_cost()
+    # the loader is lazy + once-only (no backend init at import);
+    # force re-reads the file the way a fresh process would
+    ops._load_calibration_into_cost(force=True)
     assert ops.get_cost_constants()["tiled_bw"] == 42e9
+
+
+def test_load_rejects_other_backend_fit(tmp_path):
+    p = tmp_path / "cal.json"
+    p.write_text(
+        json.dumps({"constants": {"tiled_bw": 42e9}, "backend": "tpu",
+                    "device_kind": "TPU v5e"})
+    )
+    # tests run on the CPU backend: a TPU-fitted file must not apply
+    assert load_calibration(str(p)) is None
 
 
 def test_routing_honors_constants(rng, restore_constants):

@@ -341,5 +341,5 @@ def test_moe_a2a_token_count_must_divide(rng):
 
     mesh = make_mesh((8,), ("expert",))
     params = init_moe_params(jax.random.PRNGKey(0), 8, 8, 16)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         moe_forward_a2a(params, jnp.zeros((30, 8)), mesh)

@@ -534,3 +534,35 @@ def test_spmm_public_return_arg(rng):
     # guard: return_arg without min/max
     with pytest.raises(ValueError, match="min"):
         __import__("tpusparse").spmm(a, b, reduce="sum", return_arg=True)
+
+
+def test_precision_config_change_not_frozen_by_jit_cache(rng):
+    """set_config(precision=...) must reach an executor whose signature is
+    already jit-cached. The kernel entries take precision as a static arg
+    defaulting to None; before the eager_precision wrapper, None froze the
+    mode the FIRST trace resolved (measured on TPU: switching to 'default'
+    after a 'high' run silently re-ran the 3-pass kernel)."""
+    from tpusparse.kernels.gemm import gemm_pallas
+    from tpusparse.utils.config import set_config
+
+    a = random_csr(21, (64, 128), 0.3)
+    b = jnp.asarray(rng.random((128, 128), dtype=np.float32))
+    plan = build_plan(a, blocksize=(8, 8))
+    bv = plan.pack_values(a.data)
+    x = jnp.asarray(rng.random((64, 64), dtype=np.float32))
+
+    # 'highest' (native fp32 dots) vs 'bf16x3' (explicit 3-pass split,
+    # backend-independent): the split drops the lo*lo term, so outputs
+    # must differ once the config change actually reaches the kernel
+    set_config(precision="highest")
+    try:
+        y_exact = np.asarray(tiled_spmm_pallas(plan, bv, b))
+        g_exact = np.asarray(gemm_pallas(x, x))
+        set_config(precision="bf16x3")
+        y_split = np.asarray(tiled_spmm_pallas(plan, bv, b))
+        g_split = np.asarray(gemm_pallas(x, x))
+    finally:
+        set_config(precision="high")
+    for exact, split in ((y_exact, y_split), (g_exact, g_split)):
+        assert (exact != split).any(), "precision change ignored (stale jit cache)"
+        np.testing.assert_allclose(split, exact, rtol=1e-4, atol=1e-5)

@@ -20,6 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpusparse.kernels import mxu
 from tpusparse.utils.config import (
+    eager_precision,
     get_config,
     interpret_mode,
     pallas_precision,
@@ -39,6 +40,7 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int, precision):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+@eager_precision
 @functools.partial(
     jax.jit,
     static_argnames=("block_m", "block_n", "block_k", "out_dtype", "precision"),
@@ -69,8 +71,15 @@ def gemm_pallas(
     # tile (177-214 TF, 0.90-1.02x XLA across tenancy swings); larger
     # problems with the config defaults (2048, 1024, 512) — measured XLA
     # parity at 8192² (167.0 vs 166.7 TF). Explicit block_* args override.
+    # ... but only when the config tiles are also the untouched defaults —
+    # a user-tuned set_config(gemm_block_*) must win over the size heuristic
+    cfg_default = (cfg.gemm_block_m, cfg.gemm_block_n, cfg.gemm_block_k) == (
+        type(cfg).gemm_block_m,
+        type(cfg).gemm_block_n,
+        type(cfg).gemm_block_k,
+    )
     if block_m is None and block_n is None and block_k is None and (
-        max(m, n, k) <= 4096
+        cfg_default and max(m, n, k) <= 4096
     ):
         block_m, block_n, block_k = 1024, 4096, 512
     bm = min(block_m or cfg.gemm_block_m, round_up(m, 8))

@@ -69,23 +69,26 @@ def _naive_kernel(
     idx_ref,
     vals_ref,
     nnzrow_ref,
-    base_ref,  # (m,) int32: row -> first global nnz index (indptr[:-1])
-    b_ref,
-    o_ref,
-    *arg_out,  # (row_tile, bn) int32 arg ref iff return_arg
+    *refs,  # [base_ref iff return_arg], b_ref, o_ref, [arg_ref iff return_arg]
     ell_width: int,
     row_tile: int,
     reduce: str,
+    return_arg: bool = False,
     nnz_fill: int = 0,
 ):
+    if return_arg:
+        # base_ref (m,) int32: row -> first global nnz index (indptr[:-1]);
+        # prefetched only when the arg output is requested (SMEM budget)
+        base_ref, b_ref, o_ref, arg_ref = refs
+    else:
+        b_ref, o_ref = refs
     i = pl.program_id(0)
     tn = o_ref.shape[1]
-    return_arg = bool(arg_out)
 
     for r in range(row_tile):  # static unroll over the row tile
         row = i * row_tile + r
         count = nnzrow_ref[row]
-        base = base_ref[row]
+        base = base_ref[row] if return_arg else 0
 
         def body(l, carry):
             acc = carry[0] if return_arg else carry
@@ -129,7 +132,7 @@ def _naive_kernel(
             acc = jnp.where(count > 0, acc, 0.0)
         o_ref[pl.ds(r, 1), :] = acc.astype(o_ref.dtype)
         if return_arg:
-            arg_out[0][pl.ds(r, 1), :] = arg
+            arg_ref[pl.ds(r, 1), :] = arg
 
 
 @functools.partial(
@@ -165,8 +168,11 @@ def naive_spmm_pallas(
     L = int(col_idx.shape[1])
 
     # the ELL index/value/count streams ride scalar prefetch into SMEM,
-    # whose budget is ~1MB — fail with guidance instead of Mosaic's OOM
-    smem_bytes = (2 * m * L + m) * 4
+    # whose budget is ~1MB — fail with guidance instead of Mosaic's OOM.
+    # Streams (padded row count mp): idx mp*L, vals mp*L, nnz_per_row mp,
+    # plus row_base mp iff return_arg.
+    mp = round_up(m, _ROW_TILE)
+    smem_bytes = (2 * mp * L + mp * (2 if return_arg else 1)) * 4
     if smem_bytes > 900_000 and not interpret_mode():
         raise ValueError(
             f"naive SpMM ELL arrays need ~{smem_bytes >> 10} KiB of SMEM "
@@ -175,7 +181,6 @@ def naive_spmm_pallas(
         )
 
     bn = min(block_n, round_up(n, 128))
-    mp = round_up(m, _ROW_TILE)
     np_ = round_up(n, bn)
     kp = round_up(k, 8)
     if (kp, np_) != b.shape:
@@ -184,12 +189,22 @@ def naive_spmm_pallas(
         col_idx = jnp.pad(col_idx, ((0, mp - m), (0, 0)))
         vals = jnp.pad(vals, ((0, mp - m), (0, 0)))
         nnz_per_row = jnp.pad(nnz_per_row, (0, mp - m))
-    # row -> first global nnz index (exclusive prefix over row counts;
-    # ELL packs in CSR order, so slot (row, l) is nnz index base[row]+l)
-    row_base = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(nnz_per_row.astype(jnp.int32))[:-1]]
-    )
+    prefetch = [
+        col_idx.reshape(-1),
+        vals.reshape(-1).astype(jnp.float32),
+        nnz_per_row.astype(jnp.int32),
+    ]
+    if return_arg:
+        # row -> first global nnz index (exclusive prefix over row counts;
+        # ELL packs in CSR order, so slot (row, l) is nnz index base[row]+l).
+        # Only built/prefetched when the arg output is requested — it is an
+        # extra (mp,) SMEM stream the plain kernel never reads.
+        prefetch.append(
+            jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(nnz_per_row.astype(jnp.int32))[:-1]]
+            )
+        )
     # the arg empty-row fill is the matrix's nnz — static (the operands
     # are tracers under this function's jit, so it must come in as a
     # static arg, not be computed from nnz_per_row here)
@@ -205,7 +220,7 @@ def naive_spmm_pallas(
         out_spec = (out_spec, out_spec)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=len(prefetch),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -221,6 +236,7 @@ def naive_spmm_pallas(
             ell_width=L,
             row_tile=_ROW_TILE,
             reduce=reduce,
+            return_arg=return_arg,
             nnz_fill=nnz,
         ),
         grid_spec=grid_spec,
@@ -233,13 +249,7 @@ def naive_spmm_pallas(
             vmem_limit_bytes=get_config().vmem_limit_bytes,
         ),
         interpret=interpret_mode(),
-    )(
-        col_idx.reshape(-1),
-        vals.reshape(-1).astype(jnp.float32),
-        nnz_per_row.astype(jnp.int32),
-        row_base,
-        b.astype(jnp.float32),
-    )
+    )(*prefetch, b.astype(jnp.float32))
     if return_arg:
         vals_out, arg = out
         return vals_out[:m, :n], arg[:m, :n]

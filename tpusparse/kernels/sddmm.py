@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpusparse.kernels import mxu
 from tpusparse.plan import Plan
 from tpusparse.utils.config import (
+    eager_precision,
     get_config,
     interpret_mode,
     pallas_precision,
@@ -50,6 +51,7 @@ def _sddmm_kernel(
         o_ref[0] = acc_ref[:].astype(o_ref.dtype) * valid
 
 
+@eager_precision
 @functools.partial(jax.jit, static_argnames=("block_n", "precision"))
 def sddmm_pallas(
     plan: Plan,

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpusparse.kernels import mxu
 from tpusparse.plan import CompactPlan, GroupedPlan, Plan
 from tpusparse.utils.config import (
+    eager_precision,
     get_config,
     interpret_mode,
     pallas_precision,
@@ -99,6 +100,7 @@ def _executor_kernel(
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+@eager_precision
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "out_dtype", "precision"),
@@ -303,7 +305,10 @@ def resident_spmm_pallas(
         )
     return _resident_spmm_pallas_jit(
         plan, block_vals, b, block_n=bn, out_dtype=out_dtype,
-        precision=precision,
+        # resolve the config default EAGERLY: None as the jit static arg
+        # would freeze whatever precision the first trace resolved —
+        # set_config(precision=...) changes must produce a new cache key
+        precision=precision or get_config().precision,
     )
 
 
@@ -652,6 +657,7 @@ def _compact_kernel(
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+@eager_precision
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "out_dtype", "precision"),
@@ -803,6 +809,7 @@ def _grouped_kernel(
     jax.lax.fori_loop(0, nvalid, body, 0)
 
 
+@eager_precision
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "out_dtype", "precision"),
@@ -977,6 +984,7 @@ def _footprint_kernel(
     o_ref[:] = acc_scr[:].astype(o_ref.dtype)
 
 
+@eager_precision
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "out_dtype", "precision"),

@@ -49,6 +49,13 @@ class Pattern:
     def __post_init__(self):
         idx = np.ascontiguousarray(np.asarray(self.indices, dtype=np.int32))
         ptr = np.ascontiguousarray(np.asarray(self.indptr, dtype=np.int32))
+        # copy before freezing when the conversion returned the caller's own
+        # buffer (already-contiguous int32 input) — flipping writeable on a
+        # shared array would break later in-place writes caller-side
+        if idx is self.indices:
+            idx = idx.copy()
+        if ptr is self.indptr:
+            ptr = ptr.copy()
         idx.flags.writeable = False  # frozen content backs the cached hash
         ptr.flags.writeable = False
         object.__setattr__(self, "indices", idx)

@@ -628,7 +628,9 @@ def naive_spmm(
         b,
         reduce=reduce,
         return_arg=return_arg,
-        nnz=a.nnz,
+        # nnz only matters as the arg empty-row fill; keeping it 0 otherwise
+        # avoids per-nnz recompiles of the plain forward reducers
+        nnz=a.nnz if return_arg else 0,
     )
 
 
@@ -803,12 +805,15 @@ _COST = dict(_COST_DEFAULTS)
 
 def get_cost_constants() -> dict:
     """The router cost-model constants currently in effect (a copy)."""
+    _load_calibration_into_cost()
     return dict(_COST)
 
 
 def set_cost_constants(**kwargs) -> dict:
     """Override router cost constants (used by tpusparse.calibrate());
     unknown keys raise. Clears the route cache so new decisions apply."""
+    global _CALIBRATION_LOADED
+    _CALIBRATION_LOADED = True  # an explicit override wins over the file fit
     for k_, v in kwargs.items():
         if k_ not in _COST:
             raise KeyError(
@@ -819,8 +824,21 @@ def set_cost_constants(**kwargs) -> dict:
     return dict(_COST)
 
 
-def _load_calibration_into_cost():
-    """Apply a persisted tpusparse.calibrate() fit, if one exists."""
+_CALIBRATION_LOADED = False
+
+
+def _load_calibration_into_cost(force: bool = False):
+    """Apply a persisted tpusparse.calibrate() fit, if one exists.
+
+    Lazy (first router use / get_cost_constants), NOT at import: the
+    backend-match check in load_calibration needs jax's backend, and
+    initializing the TPU tunnel as an import side effect would make
+    `import tpusparse` slow and flaky.
+    """
+    global _CALIBRATION_LOADED
+    if _CALIBRATION_LOADED and not force:
+        return
+    _CALIBRATION_LOADED = True
     from tpusparse.utils.calibrate import load_calibration
 
     fit = load_calibration()
@@ -828,9 +846,7 @@ def _load_calibration_into_cost():
         for k_, v in fit.items():
             if k_ in _COST:
                 _COST[k_] = float(v)
-
-
-_load_calibration_into_cost()
+        _ROUTE_CACHE.clear()
 
 
 def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) -> str:
@@ -847,6 +863,7 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     from tpusparse.plan import _ROOFLINE
     from tpusparse.utils.config import get_config
 
+    _load_calibration_into_cost()
     cfg = get_config()
     try:
         indptr = np.asarray(a.indptr)

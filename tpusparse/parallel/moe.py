@@ -117,10 +117,13 @@ def moe_forward_a2a(
     d = x.shape[-1]
     nshards = mesh.shape[axis]
     if E % nshards != 0:
-        raise ValueError(f"num_experts {E} must divide shards {nshards}")
+        raise ValueError(
+            f"num_experts {E} must be divisible by the shard count {nshards}"
+        )
     if x.shape[0] % nshards != 0:
         raise ValueError(
-            f"token count {x.shape[0]} must divide shards {nshards}"
+            f"token count {x.shape[0]} must be divisible by the shard "
+            f"count {nshards}"
         )
     e_local = E // nshards
     t_local = x.shape[0] // nshards

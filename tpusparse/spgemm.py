@@ -271,8 +271,9 @@ def _count_products(a: CSR, b: CSR) -> int:
 
 
 def _route_spgemm(a: CSR, b: CSR) -> str:
-    from tpusparse.ops import _COST
+    from tpusparse.ops import _COST, _load_calibration_into_cost
 
+    _load_calibration_into_cost()
     try:
         nmul = _count_products(a, b)
     except Exception:  # traced pattern — only the schedule path can run

@@ -53,9 +53,16 @@ __all__ += ["with_retries", "is_transient"]
 
 from tpusparse.utils.matrices import (
     MATRIX_CATALOG,
+    block_structured_csr,
     get_matrix,
     load_mtx,
     save_mtx,
 )
 
-__all__ += ["MATRIX_CATALOG", "get_matrix", "load_mtx", "save_mtx"]
+__all__ += [
+    "MATRIX_CATALOG",
+    "block_structured_csr",
+    "get_matrix",
+    "load_mtx",
+    "save_mtx",
+]

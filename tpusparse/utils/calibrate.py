@@ -6,7 +6,9 @@ per-slot executor overhead, dense MXU rate, ...). The shipped defaults
 are a TPU v5e fit; on other TPU generations every one of them moves.
 `tpusparse.calibrate()` re-measures them on the local chip with the
 chained-iteration device timer and persists the fit, which is loaded
-automatically at import.
+automatically on first routing use (lazily, so `import tpusparse` never
+initializes the backend) — and only when the persisted backend /
+device_kind match the running one.
 
 This is the portable form of the reference inspector's core decision
 (SURVEY.md §7.3: gather-SpMM vs block-densified SpMM per matrix) — the
@@ -54,6 +56,7 @@ def save_calibration(constants: Dict[str, float], path: Optional[str] = None) ->
     payload = {
         "constants": {k: float(v) for k, v in constants.items()},
         "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
     }
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
@@ -61,12 +64,23 @@ def save_calibration(constants: Dict[str, float], path: Optional[str] = None) ->
 
 
 def load_calibration(path: Optional[str] = None) -> Optional[Dict[str, float]]:
-    """Read a persisted fit; returns None if absent/invalid. Does NOT
-    apply it — ops.py applies at import via `_load_calibration_into_cost`."""
+    """Read a persisted fit; returns None if absent/invalid, or if the fit
+    was taken on a different backend than the current one (a v5e fit must
+    not steer routing on a CPU run or another chip generation — the exact
+    mismatch calibration exists to fix). Does NOT apply it — ops.py applies
+    on first routing use via `_load_calibration_into_cost`."""
     path = path or calibration_path()
     try:
         with open(path) as f:
             payload = json.load(f)
+        import jax
+
+        fitted_on = payload.get("backend")
+        if fitted_on is not None and fitted_on != jax.default_backend():
+            return None
+        kind = payload.get("device_kind")
+        if kind is not None and kind != jax.devices()[0].device_kind:
+            return None
         consts = payload["constants"]
         return {k: float(consts[k]) for k in _CAL_KEYS if k in consts}
     except (OSError, KeyError, ValueError, TypeError):
@@ -155,21 +169,11 @@ def calibrate(
     say(f"gather_per_nnz_floor = {out['gather_per_nnz_floor']*1e9:.1f} ns/nnz")
 
     # -- tiled executor: slot-bound regime (128^2 blocks, n=512) -------------
-    import scipy.sparse as sp
     from tpusparse.kernels.tiled_spmm import tiled_spmm_pallas
+    from tpusparse.utils.matrices import block_structured_csr
 
     bdim, bs, fill = 8192, 128, 0.15
-    nb = bdim // bs
-    mask = rng.random((nb, nb)) < fill
-    for i in range(nb):
-        if not mask[i].any():
-            mask[i, rng.integers(0, nb)] = True
-    br, bc = np.nonzero(mask)
-    vals = rng.standard_normal((br.size, bs, bs)).astype(np.float32)
-    bindptr = np.concatenate([[0], np.cumsum(np.bincount(br, minlength=nb))])
-    a_blk = CSR.from_scipy(
-        sp.bsr_matrix((vals, bc, bindptr), shape=(bdim, bdim)).tocsr()
-    )
+    a_blk = CSR.from_scipy(block_structured_csr(bdim, bdim, bs, bs, fill, rng=rng))
     plan = build_plan(a_blk, (bs, bs))
     bv = plan.pack_values(a_blk.data)
     B5 = jnp.asarray(rng.standard_normal((bdim, 512)).astype(np.float32))

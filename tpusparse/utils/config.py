@@ -110,6 +110,28 @@ def pallas_precision(override: Optional[str] = None):
     }[name]
 
 
+def eager_precision(jitted_fn):
+    """Resolve the config's precision default OUTSIDE a jitted kernel entry.
+
+    The kernel entries are `jax.jit`-ed with `precision` as a static arg
+    defaulting to None, and resolve the config inside the traced body. A
+    bare None in the cache key freezes whatever mode the FIRST trace
+    resolved: after `set_config(precision='default')`, a later call with
+    the same shapes silently reuses the stale 3-pass (or vice-versa)
+    kernel — measured on TPU, the mode switch was a no-op. Wrapping the
+    entry so None becomes the concrete config name before the jit boundary
+    makes the mode part of the cache key.
+    """
+
+    @functools.wraps(jitted_fn)
+    def wrapper(*args, precision: Optional[str] = None, **kwargs):
+        return jitted_fn(
+            *args, precision=precision or _config.precision, **kwargs
+        )
+
+    return wrapper
+
+
 @functools.cache
 def _default_backend() -> str:
     return jax.default_backend()

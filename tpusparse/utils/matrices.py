@@ -199,19 +199,40 @@ def _circuit(n: int, seed: int) -> sp.csr_matrix:
     return (a + sp.diags(rowsum + 1.0, format="csr")).tocsr().astype(np.float32)
 
 
+def block_structured_csr(
+    m: int,
+    k: int,
+    bm: int,
+    bk: int,
+    fill: float,
+    seed: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+    diagonal: bool = False,
+) -> sp.csr_matrix:
+    """Random block-structured CSR: dense (bm, bk) blocks occupying a
+    sparse block mask at the given fill — the headline regime of the
+    tiled/resident executors. Every block row gets at least one block;
+    `diagonal=True` additionally occupies the block diagonal (square
+    masks). The single builder behind the catalog's block class, the
+    quant benchmark, and the router calibration workload."""
+    rng = rng if rng is not None else np.random.default_rng(seed)
+    nbr, nbc = m // bm, k // bk
+    mask = rng.random((nbr, nbc)) < fill
+    if diagonal:
+        np.fill_diagonal(mask, True)
+    for i in range(nbr):
+        if not mask[i].any():
+            mask[i, rng.integers(0, nbc)] = True
+    rows, cols = np.nonzero(mask)
+    vals = rng.standard_normal((rows.size, bm, bk)).astype(np.float32)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=nbr))])
+    return sp.bsr_matrix((vals, cols, indptr), shape=(m, k)).tocsr()
+
+
 def _block_structured(n: int, bs: int, fill: float, seed: int) -> sp.csr_matrix:
     """Block-structured class (SuiteSparse analogs: the BSR-friendly
-    multiphysics families, e.g. `bmw*`/`pwtk` with natural node blocks):
-    dense (bs, bs) blocks on a sparse block pattern — the regime where
-    the tiled/resident executors run at the MXU floor."""
-    rng = np.random.default_rng(seed)
-    nb = n // bs
-    mask = rng.random((nb, nb)) < fill
-    np.fill_diagonal(mask, True)
-    rows, cols = np.nonzero(mask)
-    vals = rng.standard_normal((rows.size, bs, bs)).astype(np.float32)
-    indptr = np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=nb))])
-    return sp.bsr_matrix((vals, cols, indptr), shape=(n, n)).tocsr()
+    multiphysics families, e.g. `bmw*`/`pwtk` with natural node blocks)."""
+    return block_structured_csr(n, n, bs, bs, fill, seed=seed, diagonal=True)
 
 
 @dataclass(frozen=True)
