@@ -128,21 +128,100 @@ def test_spmm_dispatch_equivalence(rng, method):
     )
 
 
-@pytest.mark.parametrize("method", ["tiled", "naive", "reference"])
+@pytest.mark.parametrize(
+    "method",
+    ["tiled", "naive", "reference", "gather", "dense", "footprint",
+     "resident", "auto"],
+)
 def test_spmm_batched_b(rng, method):
-    # 2-D sparse × 3-D dense: shared pattern mapped over the batch
-    # (reference loops in Python and stacks, matmuls.py:289-293)
+    # 2-D sparse × 3-D dense: shared pattern, ONE launch with batch
+    # folded into the column axis (the reference's dispatcher flatten,
+    # matmuls.py:282-288) — parity vs the per-element vmap oracle
     a = random_csr(6, (32, 48), 0.1)
     b = jnp.asarray(rng.random((4, 48, 16), dtype=np.float32))
     out = ops.spmm(a, b, method=method)
     assert out.shape == (4, 32, 16)
-    for i in range(4):
-        np.testing.assert_allclose(
-            np.asarray(out[i]),
-            np.asarray(spmm_reference(a, b[i])),
-            rtol=1e-5,
-            atol=1e-5,
+    ref = jax.vmap(lambda bb: spmm_reference(a, bb))(b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_spmm_batched_fold_chunked(rng, monkeypatch):
+    # force the memory-capped chunked fold (incl. a ragged final chunk)
+    # on the gather path and check it matches the unchunked result
+    from tpusparse import ops as ops_mod
+
+    a = random_csr(16, (24, 40), 0.15)
+    b = jnp.asarray(rng.random((5, 40, 8), dtype=np.float32))
+    ref = ops.spmm(a, b, method="gather")
+    # cap ~ 2 batch elements of folded columns -> 3 chunks, last ragged
+    monkeypatch.setattr(
+        ops_mod, "_FOLD_INTERMEDIATE_BYTES", 4 * a.nnz * 8 * 2
+    )
+    out = ops.spmm(a, b, method="gather")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_spmm_batched_4d_bert_shape(rng):
+    # the reference's 4-D BERT batched-sparse case (naive test shape
+    # class, tests/naive_kernel_test.py:66-68) at reduced size: leading
+    # dims fold to one batch, batch folds into the executor's n-grid
+    a = random_csr(17, (64, 64), 0.1)
+    b = jnp.asarray(rng.random((3, 2, 64, 16), dtype=np.float32))
+    out = ops.spmm(a, b, method="tiled")
+    assert out.shape == (3, 2, 64, 16)
+    ref = jax.vmap(jax.vmap(lambda bb: spmm_reference(a, bb)))(b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_spmm_batched_grads(rng):
+    # gradients flow through the fold's transposes into the custom_vjp
+    a = random_csr(18, (32, 48), 0.1)
+    b = jnp.asarray(rng.random((3, 48, 16), dtype=np.float32))
+    plans = build_plan_pair(a, blocksize=(8, 16))
+
+    def f(data, bb):
+        return ops.tiled_spmm(
+            CSR(data, a.indices, a.indptr, a.shape), bb, plans=plans
         )
+
+    check_grads(f, (a.data, b), **GRAD_KW)
+
+
+@pytest.mark.parametrize("method", ["naive", "reference"])
+def test_spmm_batched_reduce_return_arg(rng, method):
+    # folded reducers act per output element, so min/max + the argmin
+    # matrix survive the fold exactly
+    a = random_csr(19, (16, 24), 0.2)
+    b = jnp.asarray(rng.random((3, 24, 8), dtype=np.float32))
+    vals, arg = ops.spmm(a, b, method=method, reduce="max", return_arg=True)
+    assert vals.shape == (3, 16, 8) and arg.shape == (3, 16, 8)
+    for i in range(3):
+        rv, ra = spmm_reference(a, b[i], reduce="max", return_arg=True)
+        np.testing.assert_allclose(
+            np.asarray(vals[i]), np.asarray(rv), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(arg[i]), np.asarray(ra))
+
+
+def test_route_cache_batched_vs_2d_distinct(rng):
+    # a batched call must route at the FOLDED width — its cache entry
+    # cannot collide with the same pattern's 2-D entry
+    from tpusparse.ops import _ROUTE_CACHE, _route_spmm
+
+    a = random_csr(20, (32, 48), 0.1)
+    b2 = jnp.zeros((48, 16))
+    b3 = jnp.zeros((8, 48, 16))
+    _ROUTE_CACHE.clear()
+    _route_spmm(a, b2, None)
+    n_entries = len(_ROUTE_CACHE)
+    _route_spmm(a, b3, None)
+    assert len(_ROUTE_CACHE) == n_entries + 1
 
 
 def test_spmm_reduce_dispatch(rng):

@@ -138,3 +138,48 @@ def test_quantized_shape_mismatch(rng):
     qa = QuantizedMatrix(CSR.from_scipy(a_sp), blocksize=(8, 8))
     with pytest.raises(ValueError, match="incompatible"):
         qa @ jnp.ones((32, 4), jnp.float32)
+
+
+def test_int8_ring_matches_resident(rng):
+    """The big-K int8 ELL ring is bitwise identical to the resident int8
+    kernel on shared shapes (same slot order, same MXU pass)."""
+    from tpusparse.kernels.tiled_spmm import tiled_spmm_int8_pallas
+
+    a_sp = _block_csr(rng, 128, 256, 8, 16, 0.25)
+    a = CSR.from_scipy(a_sp)
+    plan = build_plan(a, blocksize=(8, 16))
+    qvals, scales = quantize_block_values(plan.pack_values(a.data))
+    bq, t = quantize_columns(
+        jnp.asarray(rng.standard_normal((256, 48)).astype(np.float32))
+    )
+    out_res = np.asarray(resident_spmm_int8_pallas(plan, qvals, scales, bq, t))
+    out_ring = np.asarray(tiled_spmm_int8_pallas(plan, qvals, scales, bq, t))
+    np.testing.assert_array_equal(out_ring, out_res)
+    ref = a_sp.toarray().astype(np.float64) @ (
+        np.asarray(bq, np.float64) * np.asarray(t, np.float64)
+    )
+    rel = np.abs(out_ring - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel
+
+
+def test_quantized_matmul_big_k_dispatches_ring(rng):
+    """QuantizedMatrix must not cliff when the int8 panel exceeds the VMEM
+    budget: it dispatches the ELL ring and stays serving-accurate."""
+    from tpusparse.utils.config import get_config
+
+    a_sp = _block_csr(rng, 64, 512, 8, 16, 0.3)
+    a = CSR.from_scipy(a_sp)
+    qa = QuantizedMatrix(a, blocksize=(8, 16))
+    b = rng.standard_normal((512, 32)).astype(np.float32)
+    old_limit = get_config().vmem_limit_bytes
+    # shrink the budget below the (512, 128) int8 panel so the resident
+    # guard fails and matmul must take the ring (the former behavior was
+    # an eager ValueError from resident_spmm_int8_pallas)
+    set_config(vmem_limit_bytes=48 * 1024)
+    try:
+        out = np.asarray(qa @ jnp.asarray(b))
+    finally:
+        set_config(vmem_limit_bytes=old_limit)
+    ref = a_sp.toarray().astype(np.float64) @ b.astype(np.float64)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel

@@ -60,6 +60,27 @@ def dot(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:
 
 
 _NT_DIMS = (((1,), (1,)), ((), ()))
+_TN_DIMS = (((0,), (0,)), ((), ()))
+
+
+def dot_tn(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:
+    """aᵀ @ b (contraction on the FIRST axis of both) with fp32 accumulation."""
+    if precision == "bf16x3":
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # see dot(): Mosaic can't
+        )  # lower an ambient 'highest' context onto bf16 operands
+        if a.dtype != jnp.float32 or b.dtype != jnp.float32:
+            return jax.lax.dot_general(a, b, _TN_DIMS, **kw)
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        acc = jax.lax.dot_general(a_hi, b_hi, _TN_DIMS, **kw)
+        acc += jax.lax.dot_general(a_hi, b_lo, _TN_DIMS, **kw)
+        acc += jax.lax.dot_general(a_lo, b_hi, _TN_DIMS, **kw)
+        return acc
+    return jax.lax.dot_general(
+        a, b, _TN_DIMS, preferred_element_type=jnp.float32, precision=precision
+    )
 
 
 def dot_nt(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:

@@ -195,7 +195,9 @@ def resident_spmm(
     if b.ndim == 2:
         return _resident_spmm(plan, plan_t, t_perm, a.data, b)
     if b.ndim == 3:
-        return jax.lax.map(
+        # one launch: the resident panel is per-n-tile (kp, bn), so the
+        # folded width costs no extra VMEM — only more n-grid cells
+        return _fold_batch(
             lambda bb: _resident_spmm(plan, plan_t, t_perm, a.data, bb), b
         )
     raise ValueError(f"resident_spmm supports 2-D/3-D b, got {b.shape}")
@@ -252,8 +254,10 @@ def footprint_spmm(
     if b.ndim == 2:
         return _footprint_spmm(plan, plan_t, t_perm, fplan, a.data, b)
     if b.ndim == 3:
-        return jax.lax.map(
-            lambda bb: _footprint_spmm(plan, plan_t, t_perm, fplan, a.data, bb),
+        return _fold_batch(
+            lambda bb: _footprint_spmm(
+                plan, plan_t, t_perm, fplan, a.data, bb
+            ),
             b,
         )
     raise ValueError(f"footprint_spmm supports 2-D/3-D b, got {b.shape}")
@@ -277,9 +281,9 @@ def tiled_spmm(
     if b.ndim == 2:
         return _tiled_spmm(plan, plan_t, t_perm, a.data, b)
     if b.ndim == 3:
-        # Shared pattern across batch: map over the dense operand (the
-        # reference loops in Python and stacks, matmuls.py:289-293).
-        return jax.lax.map(
+        # Shared pattern across batch: ONE launch with batch folded into
+        # the n-grid (the reference's flatten, matmuls.py:282-288).
+        return _fold_batch(
             lambda bb: _tiled_spmm(plan, plan_t, t_perm, a.data, bb), b
         )
     raise ValueError(f"tiled_spmm supports 2-D/3-D b, got {b.shape}")
@@ -459,6 +463,74 @@ def _gather_spmm_bwd(shape, res, g):
 _gather_spmm.defvjp(_gather_spmm_fwd, _gather_spmm_bwd)
 
 
+# ----------------------------------------------------------------------------
+# Batch folding — batched B with a SHARED sparse pattern is mathematically
+# ONE SpMM against B folded along columns: (batch, k, n) -> (k, batch·n).
+# This is the reference's own batched-dispatch recipe (its dispatcher
+# flattens batched B to a single 2-D operand, matmuls.py:282-288, and its
+# naive kernel folds batch into the launch grid, naive_sparse_mm.cu:114-116)
+# done the TPU way: the executors already tile n in bn-sized grid cells, so
+# the fold turns a serialized lax.map (one kernel launch per batch element)
+# into ONE launch whose n-grid covers every batch element — at the cost of
+# one transposing copy of B and C each at HBM bandwidth.
+# ----------------------------------------------------------------------------
+
+# Cap on the (nnz, cols) fp32 intermediate that the XLA gather/scatter and
+# segment-sum paths materialize: past this, the fold runs in batch chunks.
+_FOLD_INTERMEDIATE_BYTES = 1 << 30
+
+
+def _fold_cols(b: jnp.ndarray) -> jnp.ndarray:
+    """(batch, k, n) -> (k, batch·n)."""
+    batch, k, n = b.shape
+    return jnp.swapaxes(b, 0, 1).reshape(k, batch * n)
+
+
+def _unfold_cols(c: jnp.ndarray, batch: int, n: int) -> jnp.ndarray:
+    """(m, batch·n) -> (batch, m, n)."""
+    return jnp.swapaxes(c.reshape(c.shape[0], batch, n), 0, 1)
+
+
+def _fold_batch(op2d, b: jnp.ndarray, max_cols: int | None = None):
+    """Run a 2-D SpMM `op2d((k, cols)) -> (m, cols)` on batched
+    (batch, k, n) input by folding batch into the column axis.
+
+    One kernel launch replaces the per-batch-element lax.map. `max_cols`
+    bounds the folded width for ops that materialize an (nnz, cols)
+    intermediate (gather / reference segment paths) — past it the fold
+    runs chunked under one lax.map (chunk size still >= 1 batch element,
+    so worst case degrades to the old per-element behavior). Pytree
+    outputs (e.g. return_arg tuples) are unfolded leaf-wise.
+    """
+    from tpusparse.utils.config import cdiv
+
+    batch, k, n = b.shape
+    if max_cols is None or batch * n <= max_cols:
+        out = op2d(_fold_cols(b))
+        return jax.tree_util.tree_map(
+            lambda x: _unfold_cols(x, batch, n), out
+        )
+    per = max(int(max_cols) // max(n, 1), 1)
+    nchunk = cdiv(batch, per)
+    pad = nchunk * per - batch
+    bp = jnp.pad(b, ((0, pad), (0, 0), (0, 0))) if pad else b
+    bc = bp.reshape(nchunk, per, k, n)
+    out = jax.lax.map(
+        lambda bb: jax.tree_util.tree_map(
+            lambda x: _unfold_cols(x, per, n), op2d(_fold_cols(bb))
+        ),
+        bc,
+    )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((nchunk * per,) + x.shape[2:])[:batch], out
+    )
+
+
+def _gather_fold_cols(nnz: int) -> int:
+    """Max folded columns for the (nnz, cols) fp32 gather intermediate."""
+    return max(_FOLD_INTERMEDIATE_BYTES // (4 * max(int(nnz), 1)), 1)
+
+
 def _check_spmm_b(a, b) -> None:
     """Reject a k-mismatched dense operand eagerly: XLA gathers CLAMP
     out-of-bounds row indices, so a wrong-shaped b would otherwise return
@@ -474,7 +546,11 @@ def gather_spmm(a: CSR, b: jnp.ndarray) -> jnp.ndarray:
     """XLA gather/scatter-add SpMM (differentiable; low-fill perf path)."""
     _check_spmm_b(a, b)
     if b.ndim == 3:
-        return jax.lax.map(lambda bb: gather_spmm(a, bb), b)
+        # fold batch into columns; chunk so the (nnz, cols) contrib
+        # intermediate stays bounded
+        return _fold_batch(
+            lambda bb: gather_spmm(a, bb), b, _gather_fold_cols(a.nnz)
+        )
     # CSR.row_ids() already does host expansion for concrete patterns
     # with the jittable searchsorted fallback for traced ones
     return _gather_spmm(a.shape, (a.data, a.indices, a.row_ids()), b)
@@ -537,14 +613,46 @@ def dia_spmm(a, b: jnp.ndarray) -> jnp.ndarray:
         )
     if b.ndim == 3:
         return jax.vmap(lambda bb: dia_spmm(a, bb))(b)
-    offs = a.offsets
+    offs = np.asarray(a.offsets)
     lo = int(max(0, -offs.min(initial=0)))
     hi = int(max(0, offs.max(initial=0) + m - k))
     bp = jnp.pad(b, ((lo, hi), (0, 0)))
     acc = jnp.zeros((m, b.shape[1]), jnp.promote_types(a.dtype, b.dtype))
-    for d, off in enumerate(offs):
-        seg = jax.lax.dynamic_slice_in_dim(bp, lo + int(off), m, axis=0)
-        acc = acc + a.data[d][:, None] * seg
+    nd = offs.size
+    if nd <= 128:
+        # fully unrolled: XLA sees nd static slices and fuses the chain
+        for d, off in enumerate(offs):
+            seg = jax.lax.dynamic_slice_in_dim(bp, lo + int(off), m, axis=0)
+            acc = acc + a.data[d][:, None] * seg
+        return acc
+    # Many-diagonal operators (AMG's hybrid coarse levels carry 1000+):
+    # full unrolling makes the HLO program O(nd) per matvec — a 10-iter
+    # AMG-CG at laplace3d_64's L1 (1715 diagonals) never finished
+    # compiling. Chunked lax.scan keeps the program O(U) with nd/U trips;
+    # traced slice starts are in-range by construction (pad rows use
+    # offset 0 with zero data, so they contribute nothing). Each scan
+    # step costs ~20 µs of fixed overhead on the chip (measured r3:
+    # 279 diagonals at n=2407 took 0.39 ms — scan-bound), so U trades
+    # program size against step count; callers routing between formats
+    # must charge ceil(nd/U)·20 µs (amg._route_level does).
+    U = 32
+    pad = (-nd) % U
+    data = a.data
+    offs_p = offs.astype(np.int64) + lo
+    if pad:
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+        offs_p = np.concatenate([offs_p, np.full(pad, lo, np.int64)])
+    starts = jnp.asarray(offs_p.reshape(-1, U).astype(np.int32))
+    chunks = data.reshape(-1, U, data.shape[1])
+
+    def step(carry, xs):
+        st, dc = xs  # (U,), (U, k-span)
+        for u in range(U):
+            seg = jax.lax.dynamic_slice_in_dim(bp, st[u], m, axis=0)
+            carry = carry + dc[u][:, None] * seg
+        return carry, None
+
+    acc, _ = jax.lax.scan(step, acc, (starts, chunks))
     return acc
 
 
@@ -614,11 +722,11 @@ def naive_spmm(
     if return_arg and reduce not in ("min", "max"):
         raise ValueError("return_arg is only meaningful for reduce='min'/'max'")
     if b.ndim == 3:
-        if return_arg:
-            return jax.lax.map(
-                lambda bb: naive_spmm(a, bb, reduce, return_arg=True), b
-            )
-        return jax.lax.map(lambda bb: naive_spmm(a, bb, reduce), b)
+        # every reducer (and the arg matrix) acts per output element, so
+        # the column fold is exact for all modes — one launch per batch
+        return _fold_batch(
+            lambda bb: naive_spmm(a, bb, reduce, return_arg=return_arg), b
+        )
     width = resolve_ell_width(a)  # here, before the pattern turns traced
     if reduce == "sum":
         return _naive_spmm(a.shape, width, (a.data, a.indices, a.indptr), b)
@@ -876,6 +984,10 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     m, k = a.shape
     bm, bk = blocksize or (cfg.spmm_block_m, cfg.spmm_block_k)
     n = int(b.shape[-1])
+    if b.ndim == 3:
+        # batched B folds into the column axis before execution — cost
+        # every candidate at the width it will actually run at
+        n = int(b.shape[0]) * n
     key = (_fingerprint(a.shape, (bm, bk), indptr, indices), n)
     hit = _ROUTE_CACHE.get(key)
     if hit is not None:
@@ -1006,11 +1118,12 @@ def spmm(
         return out.reshape(lead + out.shape[-2:])
     if reduce != "sum" and method in ("auto", "reference"):
         if b.ndim == 3:
-            return jax.lax.map(
+            return _fold_batch(
                 lambda bb: spmm_reference(
                     a, bb, reduce=reduce, return_arg=return_arg
                 ),
                 b,
+                _gather_fold_cols(a.nnz),
             )
         return spmm_reference(a, b, reduce=reduce, return_arg=return_arg)
     if reduce != "sum" and method == "naive":
@@ -1061,16 +1174,15 @@ def spmm(
     if method == "dense":
         # densify and ride the MXU — the right call when nearly every
         # block is occupied (the reference's torch.matmul fallback regime).
-        # Densify ONCE outside the batch map: the ~9 ns/nnz scatter would
-        # otherwise re-run per batch element inside the scan body
-        ad = a.to_dense()
-        if b.ndim == 3:
-            return jax.lax.map(lambda bb: dense.matmul(ad, bb), b)
-        return dense.matmul(ad, b)
+        # 3-D b broadcasts through one batched dot_general — XLA batches
+        # dense matmuls natively, no fold or map needed
+        return dense.matmul(a.to_dense(), b)
     if method == "naive":
         return naive_spmm(a, b, reduce=reduce)
     if method == "reference":
         if b.ndim == 3:
-            return jax.lax.map(lambda bb: spmm_reference(a, bb), b)
+            return _fold_batch(
+                lambda bb: spmm_reference(a, bb), b, _gather_fold_cols(a.nnz)
+            )
         return spmm_reference(a, b)
     raise ValueError(f"unknown spmm method {method!r}")

@@ -37,6 +37,7 @@ import numpy as np
 from tpusparse.kernels.tiled_spmm import (
     resident_int8_vmem_bytes,
     resident_spmm_int8_pallas,
+    tiled_spmm_int8_pallas,
 )
 from tpusparse.plan import Plan, build_plan
 from tpusparse.types import BSR, COO, CSR, bsr_to_csr, coo_to_csr
@@ -115,9 +116,24 @@ class QuantizedMatrix:
                 f"b shape {b.shape} incompatible with A {self.shape}"
             )
         q, t = quantize_columns(b)
-        out = resident_spmm_int8_pallas(
-            self.plan, self.qvals, self.scales, q, t, block_n=block_n
-        )
+        # executor dispatch mirrors the float path's _block_exec: resident
+        # int8 panel when it fits VMEM AND the pattern re-uses it, the int8
+        # ELL DMA-ring otherwise — so serving works at ANY k (no shape
+        # cliff; the two kernels are bitwise identical on shared shapes)
+        cfg = get_config()
+        bn = min(block_n or cfg.spmm_block_n, round_up(b.shape[1], 128))
+        if (
+            self.plan.nblocks >= self.plan.num_col_blocks
+            and resident_int8_vmem_bytes(self.plan, bn)
+            <= cfg.vmem_limit_bytes
+        ):
+            out = resident_spmm_int8_pallas(
+                self.plan, self.qvals, self.scales, q, t, block_n=block_n
+            )
+        else:
+            out = tiled_spmm_int8_pallas(
+                self.plan, self.qvals, self.scales, q, t, block_n=block_n
+            )
         return out[:, 0] if vec else out
 
     __matmul__ = matmul
