@@ -7,39 +7,81 @@ banded (LocalAttention), full fused flash, and block-pattern BigBird
 (window+global+random via scalar-prefetched kv-block lists) against the
 dense unfused baseline, all at MATCHED single-pass-bf16 dot precision
 (CLAUDE.md rule — each kernel's dense baseline runs its precision mode).
+A flash 'high'-tier row records the 3-pass fp32-class cost (r3: the
+fused kernels honor set_config(precision=...) like every other kernel).
 
-At seq 4096 (block 256) BigBird covers 6 of 16 kv-blocks — nearly half
-dense, so the margin over dense is bounded by ~2.7x. Doubling seq halves
-the covered fraction while dense grows O(n²); this sweep shows the
-crossover the pattern machinery is for.
+Parity at these never-before-tested lengths is checked for real: the
+BigBird kernel output is compared, on a 256-row q slice, against a host
+fp64 masked-softmax oracle over the full key axis.
 
 Usage: python benchmarks/longcontext_benchmark.py [--seqs 8192,16384]
-Appends a JSON record per seq to stdout; long TPU run — launch under
-nohup and poll (CLAUDE.md tunnel note).
+Appends a JSON record per seq to stdout and the benchmark log; long TPU
+run — launch under nohup and poll (CLAUDE.md tunnel note).
 """
 
-import argparse
 import json
 
 import numpy as np
 
+from common import base_parser, get_logger, log_and_print, setup_platform
+
+
+def _bigbird_slice_parity(rng, seq: int, heads: int, hd: int, block: int,
+                          bb_kwargs: dict) -> float:
+    """Max rel err of the block-flash kernel vs a host fp64 masked-dense
+    oracle on a 256-row q slice (full key axis). Runs at the bf16 tier
+    the timing rows use, so the bound is that tier's honest fidelity."""
+    import jax.numpy as jnp
+
+    from tpusparse.kernels.flash_attention import (
+        BlockAttnPlan, block_flash_attention)
+    from tpusparse.nn.attention import bigbird_block_mask
+
+    mask = bigbird_block_mask(seq, block, **bb_kwargs)
+    plan = BlockAttnPlan(mask, block, block, seq)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, heads, seq, hd)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = np.asarray(block_flash_attention(q, k, v, plan))
+
+    r0, r1 = 4 * block, 4 * block + 256  # a generic (non-global) q slice
+    qh = np.asarray(q, np.float64)[:, :, r0:r1]
+    kh, vh = np.asarray(k, np.float64), np.asarray(v, np.float64)
+    sc = np.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(hd)
+    tok_rows = np.kron(
+        mask[r0 // block : (r1 + block - 1) // block],
+        np.ones((block, block), bool),
+    )[: r1 - r0]
+    sc = np.where(tok_rows[None, None], sc, -1e30)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, vh)
+    return float(
+        np.abs(out[:, :, r0:r1] - ref).max() / max(np.abs(ref).max(), 1e-9)
+    )
+
 
 def main():
-    ap = argparse.ArgumentParser()
+    ap = base_parser("long-context attention scaling sweep")
     ap.add_argument("--seqs", default="8192,16384")
     ap.add_argument("--heads", type=int, default=12)
     ap.add_argument("--head-dim", type=int, default=64)
     args = ap.parse_args()
+    setup_platform(cpu=args.cpu)
 
     import jax
     import jax.numpy as jnp
 
     from tpusparse.nn import BigBirdAttention, LocalAttention, SelfAttention
-    from tpusparse.utils.config import set_config
+    from tpusparse.nn.attention import bigbird_block_mask
+    from tpusparse.utils.config import get_config, set_config
     from tpusparse.utils.timing import device_time_per_iter
 
+    logger = get_logger("longcontext", "longcontext_benchmark.log")
     h, hd = args.heads, args.head_dim
     width = h * hd
+    rng = np.random.default_rng(args.seed)
 
     def norm(y):
         return y / (1.0 + jnp.abs(y).max())
@@ -56,14 +98,26 @@ def main():
         p_bb = bb.init(jax.random.PRNGKey(8), x)
         p_at = loc.init(jax.random.PRNGKey(6), x)  # loc/fl/dn share params
 
-        nblk = seq // 256
-        covered = min(nblk, 3 + 1 + 2)  # window+global+random kv-blocks
+        # coverage derived from the constructed module's ACTUAL mask (the
+        # former hand-computed 3+1+2 stat silently desynchronized from the
+        # constructor args and ignored edge/global rows)
+        bb_kwargs = dict(
+            window_blocks=bb.window_blocks,
+            num_global_blocks=bb.num_global_blocks,
+            num_random_blocks=bb.num_random_blocks,
+            seed=bb.pattern_seed,
+        )
+        mask = bigbird_block_mask(seq, bb.block, **bb_kwargs)
         rec = {
             "seq": seq,
             "heads": h,
             "head_dim": hd,
-            "bigbird_covered_blocks": f"{covered}/{nblk}",
+            "bigbird_covered_blocks": (
+                f"{mask.sum(1).mean():.1f}/{mask.shape[1]}"
+            ),
+            "bigbird_density": round(float(mask.mean()), 4),
         }
+        prev_precision = get_config().precision
         set_config(precision="default")  # matched bf16 dots on every path
         try:
             rec["bigbird_ms"] = device_time_per_iter(
@@ -84,12 +138,24 @@ def main():
                 rec["bigbird_vs_dense"] = rec["dense_bf16_ms"] / rec["bigbird_ms"]
             rec["bigbird_vs_flash"] = rec["flash_ms"] / rec["bigbird_ms"]
 
-            # parity: BigBird vs masked dense reference on a bf16-tier slice
-            out = np.asarray(bb.apply(p_bb, x))
-            assert np.isfinite(out).all(), "non-finite BigBird output"
+            # parity: BigBird kernel vs host fp64 masked-dense oracle on a
+            # 256-row q slice (bf16-tier bound)
+            rec["bigbird_slice_rel_err"] = _bigbird_slice_parity(
+                rng, seq, 2, hd, bb.block, bb_kwargs
+            )
+            assert rec["bigbird_slice_rel_err"] < 5e-3, rec
         finally:
-            set_config(precision="high")
-        print(json.dumps(rec))
+            set_config(precision=prev_precision)
+        # flash fp32-class tier (3-pass split in-kernel): the honest cost
+        # of precision='high' at long context
+        set_config(precision="high")
+        try:
+            rec["flash_high_ms"] = device_time_per_iter(
+                lambda v: norm(fl.apply(p_at, v)), x, iters_lo=2, iters_hi=6
+            ) * 1e3
+        finally:
+            set_config(precision=prev_precision)
+        log_and_print(logger, json.dumps(rec))
 
 
 if __name__ == "__main__":

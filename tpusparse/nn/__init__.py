@@ -7,6 +7,7 @@ from tpusparse.nn.attention import (
     bigbird_block_mask,
     LocalAttention,
     local_global_pattern,
+    route_sparse_attention,
 )
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "bigbird_block_mask",
     "LocalAttention",
     "local_global_pattern",
+    "route_sparse_attention",
 ]
 
 from tpusparse.nn.rigl import (

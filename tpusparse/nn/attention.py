@@ -95,17 +95,102 @@ def bigbird_pattern(
     return indices, indptr
 
 
+_BLOCKFLASH_TILE_S = 1.2e-6  # s/head per 256² occupied tile (v5e, measured
+#                              0.206 ms / (14 tiles x 12 heads) this round)
+_SDDMM_PER_NNZ_S = 45e-9     # 3 gather-grain passes x ~15 ns/nnz floor
+_DENSE_PER_SCORE_S = 8.2e-12  # s/head per score element: 4d/170TF MXU +
+#                               ~4 B/elem of fused-softmax HBM traffic
+#                               (measured 5.75 µs/head at seq 1024, d 64 —
+#                               the model over-estimates ~1.4x, biasing
+#                               toward the sparse engines at the margin)
+
+
+def route_sparse_attention(
+    indices, indptr, seq: int, block: int = 0, head_dim: int = 64
+) -> Tuple[str, Optional[object], str]:
+    """Pick the engine for an arbitrary token-level attention pattern.
+
+    Three candidates, costed per head from measured v5e constants:
+      * 'blockflash' — the pattern block-ified onto a (block, block)
+        grid (block=0 auto-picks), token-exact via per-tile masks; costs
+        ~1.2 µs per occupied tile (the kernel is tile-launch-bound at
+        these sizes).
+      * 'dense' — masked dense attention; XLA's fused softmax makes this
+        unbeatable below the ~2k-seq crossover (same finding as flash vs
+        unfused, RESULTS.md r2) whenever the blocked pattern covers a
+        large fraction of the grid.
+      * 'sddmm' — per-nonzero gather grain; only wins for patterns so
+        scattered that occupied blocks average <~25 nonzeros.
+    Returns (method, plan-or-None, report); unit-tested directly, used
+    by SparseSelfAttention(method='auto').
+    """
+    nnz = int(np.asarray(indptr)[-1])
+    t_dn = seq * seq * _DENSE_PER_SCORE_S
+    t_sd = nnz * _SDDMM_PER_NNZ_S
+    if block <= 0:
+        block = 256 if seq % 256 == 0 and seq >= 1024 else (
+            128 if seq % 128 == 0 else 64
+        )
+    if seq % block:
+        method = "dense" if t_dn < t_sd else "sddmm"
+        return method, None, (
+            f"{method}: seq {seq} not tileable by any MXU block size "
+            f"(dense ~{t_dn*1e3:.3f} ms/head vs sddmm ~{t_sd*1e3:.2f})"
+        )
+    plan = _block_attn_plan_from_tokens(
+        _np_bytes(indices), _np_bytes(indptr), seq, block
+    )
+    tiles = int(plan.kv_cnt.sum())
+    t_bf = tiles * _BLOCKFLASH_TILE_S * max((block / 256.0) ** 2, 0.35)
+    report = (
+        f"pattern nnz={nnz}, block {block}: {tiles} occupied tiles "
+        f"(block density {plan.density:.3f}, padding x{plan.padding_ratio:.1f}"
+        f"{', token-exact masks' if plan.tile_masks is not None else ', pure block'}) "
+        f"-> blockflash ~{t_bf*1e3:.3f} vs dense ~{t_dn*1e3:.3f} vs "
+        f"sddmm ~{t_sd*1e3:.2f} ms/head"
+    )
+    best = min(("blockflash", t_bf), ("dense", t_dn), ("sddmm", t_sd),
+               key=lambda kv: kv[1])[0]
+    # the plan is returned whenever block-ification is POSSIBLE (so a
+    # forced method='blockflash' can use it even when dense projects
+    # faster); it is None only for untileable seqs
+    return best, plan, report + f" -> {best}"
+
+
+def _np_bytes(x) -> bytes:
+    return np.ascontiguousarray(np.asarray(x, np.int32)).tobytes()
+
+
+@functools.lru_cache(maxsize=32)
+def _block_attn_plan_from_tokens(ind_b: bytes, ptr_b: bytes, seq: int, block: int):
+    from tpusparse.kernels.flash_attention import BlockAttnPlan
+
+    indices = np.frombuffer(ind_b, np.int32)
+    indptr = np.frombuffer(ptr_b, np.int32)
+    return BlockAttnPlan.from_token_pattern(indices, indptr, seq, block, block)
+
+
 class SparseSelfAttention(nn.Module):
-    """Multi-head self-attention with block-sparse attention scores.
+    """Multi-head self-attention with sparse attention scores.
 
     The capability the reference's README gestures at (sparse kernels
     "incorporated into BERT", README.md:61-80) but never ships: the
-    (seq, seq) score matrix is never materialized. Per head:
-    scores = SDDMM(pattern, Q, Kᵀ) produces only the allowed entries,
-    a segment softmax normalizes each row over its nonzeros, and
-    context = SpMM(probs, V) on the gather path. All three stages carry
-    their own VJPs, so the layer trains end-to-end. Compute/memory scale
-    with nnz = O(seq·window) instead of seq².
+    (seq, seq) score matrix is never materialized.
+
+    Engines (`method`): 'auto' (default) routes through
+    `route_sparse_attention` over three costed candidates — the fused
+    block-flash kernel with token-exact per-tile masks (MXU-grain
+    compute, O(occupied blocks) traffic; measured 110x over the old
+    SDDMM default at seq 1024), masked DENSE attention (XLA's fused
+    softmax is unbeatable below the ~2k-seq crossover when the blocked
+    pattern covers most of the grid), and the SDDMM gather path (only
+    for patterns too scattered for tile launches to pay).
+    'blockflash'/'dense'/'sddmm' force an engine. The SDDMM path:
+    scores = SDDMM(pattern, Q, Kᵀ) produces only the allowed entries, a
+    segment softmax normalizes each row over its nonzeros, and
+    context = SpMM(probs, V) on the gather path; all three stages carry
+    their own VJPs. Every engine trains end-to-end and matches the
+    masked dense softmax oracle on the exact token pattern.
     """
 
     num_heads: int
@@ -116,11 +201,18 @@ class SparseSelfAttention(nn.Module):
     # partial(bigbird_pattern, block=64). A callable (hashable) rather
     # than raw arrays so the module stays a well-behaved frozen dataclass.
     pattern_fn: Optional[Callable] = None
+    method: str = "auto"
+    block: int = 0  # blockflash tile size; 0 = auto-pick from seq
 
     @nn.compact
     def __call__(self, hidden):
         from tpusparse.types import CSR
 
+        if self.method not in ("auto", "blockflash", "dense", "sddmm"):
+            raise ValueError(
+                f"unknown method {self.method!r} "
+                "(auto/blockflash/dense/sddmm)"
+            )
         b, s, h = hidden.shape
         d = self.num_heads * self.head_dim
         q = DenseLinear(d, name="query")(hidden)
@@ -139,6 +231,40 @@ class SparseSelfAttention(nn.Module):
             indices, indptr = local_global_pattern(
                 s, self.window, self.num_global
             )
+
+        method, plan = self.method, None
+        if method in ("auto", "blockflash"):
+            routed, plan, _report = route_sparse_attention(
+                indices, indptr, s, self.block, self.head_dim
+            )
+            if method == "auto":
+                method = routed
+            elif plan is None:  # forced blockflash on an untileable seq
+                raise ValueError(_report)
+
+        if method == "blockflash":
+            from tpusparse.kernels.flash_attention import (
+                block_flash_attention_diff,
+            )
+
+            ctx = block_flash_attention_diff(q, k, v, plan)
+        elif method == "dense":
+            mask = np.zeros((s, s), bool)
+            mask[
+                np.repeat(np.arange(s), np.diff(indptr)), np.asarray(indices)
+            ] = True
+            scores = ops.transb_mm(q, k) / np.sqrt(self.head_dim)
+            scores = jnp.where(jnp.asarray(mask), scores, -1e9)
+            ctx = ops.mm(jax.nn.softmax(scores, axis=-1), v)
+        else:
+            ctx = self._sddmm_attention(q, k, v, s, indices, indptr)
+        ctx = ctx.reshape(b, self.num_heads, s, self.head_dim)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return DenseLinear(h, name="out")(ctx)
+
+    def _sddmm_attention(self, q, k, v, s, indices, indptr):
+        from tpusparse.types import CSR
+
         rows = np.repeat(np.arange(s, dtype=np.int32), np.diff(indptr))
         scale = 1.0 / np.sqrt(self.head_dim)
 
@@ -155,10 +281,7 @@ class SparseSelfAttention(nn.Module):
             probs = e / z[rows]
             return ops.gather_spmm(CSR(probs, indices, indptr, (s, s)), vh)
 
-        ctx = jax.vmap(one_head)(q, k, v)  # (b*heads, s, head_dim)
-        ctx = ctx.reshape(b, self.num_heads, s, self.head_dim)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
-        return DenseLinear(h, name="out")(ctx)
+        return jax.vmap(one_head)(q, k, v)  # (b*heads, s, head_dim)
 
 
 def banded_blocks(q, k_pad, v_pad, window: int, block0_pos, s_total: int):
