@@ -142,7 +142,7 @@ def test_amg_levels_use_dia_and_match_previous_numerics():
     a = ts.sp_add(ts.sp_kron(s(I), s(T)), ts.sp_kron(s(T), s(I)))
     m = ts.smoothed_aggregation_setup(a, coarse_size=40)
     assert isinstance(m.levels[0].a, DIA)
-    assert "[dia]" in m.report()
+    assert "[dia:" in m.report()  # r3: per-level diagonal counts
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.normal(size=(n1 * n1,)).astype(np.float32))
     out = m(b)
@@ -228,3 +228,31 @@ def test_dsmm_with_dia_operand(rng):
     out = ts.dsmm(x, d)
     ref = np.asarray(x, np.float64) @ d.to_scipy().toarray()
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dia_spmm_many_diagonals_scan_path(rng):
+    """>128 diagonals takes the chunked-scan lowering (r3: full unrolling
+    made the HLO program O(ndiag) per matvec and AMG's 1715-diagonal
+    hybrid levels never finished compiling); must match the dense oracle
+    and differentiate."""
+    import scipy.sparse  # noqa: F401  (parity with module conventions)
+
+    n = 700
+    offs = np.unique(rng.integers(-600, 600, size=400))[:300]
+    data = rng.standard_normal((offs.size, n)).astype(np.float32)
+    a = DIA(data=jnp.asarray(data), offsets=offs, shape=(n, n))
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    y = np.asarray(jax.jit(lambda b: dia_spmm(a, b))(jnp.asarray(x)))
+    dense = np.zeros((n, n))
+    for s_, off in enumerate(offs):
+        r = np.arange(max(0, -off), min(n, n - off))
+        dense[r, r + off] += data[s_, r]
+    ref = dense @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+    g = jax.grad(
+        lambda d_: jnp.sum(
+            dia_spmm(DIA(data=d_, offsets=offs, shape=(n, n)),
+                     jnp.asarray(x)) ** 2
+        )
+    )(jnp.asarray(data))
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0

@@ -113,20 +113,55 @@ def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 15) -> float:
 
 
 @dataclass
+class _HybridOp:
+    """Level operator split as DIA(top diagonals) + CSR(remainder).
+
+    3-D Galerkin coarse operators spread over thousands of diagonals
+    with poor concentration (laplace3d_64 L1: 3523 diagonals, the top
+    1024 cover only 88% of nnz) — too wide for pure DIA's padded
+    storage, but the gather floor (~15 ns/nnz) makes pure CSR ~1750x
+    off the streaming roofline. The split keeps every diagonal whose
+    streaming cost beats gathering its entries (cost-model routed at
+    setup) and gathers only the thin tail: measured 14.4 ms → ~2.4 ms
+    per L1 matvec class. Applies under jit; both parts differentiable.
+    """
+
+    dia: object  # DIA part (top diagonals)
+    rem: CSR     # remainder on the gather path
+    shape: Tuple[int, int]
+
+    def mv(self, x):
+        return ops.dia_spmm(self.dia, x) + ops.spmm(
+            self.rem, x, method="gather"
+        )
+
+
+def _op_mv(a, x):
+    """Matvec for a level operator in any of its formats."""
+    from tpusparse.types import DIA as _DIA
+
+    if isinstance(a, _HybridOp):
+        return a.mv(x)
+    if isinstance(a, _DIA):
+        return ops.dia_spmm(a, x)
+    return None  # CSR: caller uses ops.spmm with its routing method
+
+
+@dataclass
 class _FactoredP:
     """P = (I − ω·D⁻¹A)·P_t applied in FACTORED form.
 
     The assembled smoothed prolongator is irregular (one XLA scalar
     gather per nonzero, ~14 ns each — P/R matvecs were 74 of a 105 ms
     V-cycle at 1M rows). But P_t is one weighted entry per row, and
-    D⁻¹A inherits A's bandedness, so on DIA levels:
+    D⁻¹A inherits A's structure, so on DIA/hybrid levels:
       P·e  = t − ω·(D⁻¹A)·t           with t = w ⊙ e[agg]   (ONE m-gather)
       Pᵀ·r = segment_sum(w ⊙ y, agg)  with y = r − ω·(D⁻¹A)ᵀ·r  (ONE m-scatter)
     — nnz-many gathers collapse to m-many, everything else streams."""
 
     agg: jnp.ndarray      # (m,) int32 aggregate id per fine node
     w: jnp.ndarray        # (m,) tentative weights (1/√aggregate size)
-    dinv_a: object        # DIA of D⁻¹A at the fine level
+    dinv_a: object        # DIA or _HybridOp of D⁻¹A at the fine level
     dinv_a_t: object      # its transpose
     omega: float
     shape: Tuple[int, int]  # (m, n_agg)
@@ -135,10 +170,10 @@ class _FactoredP:
         t = (self.w if e.ndim == 1 else self.w[:, None]) * (
             e[self.agg] if e.ndim == 1 else e[self.agg, :]
         )
-        return t - self.omega * ops.dia_spmm(self.dinv_a, t)
+        return t - self.omega * _op_mv(self.dinv_a, t)
 
     def rmv(self, r):
-        y = r - self.omega * ops.dia_spmm(self.dinv_a_t, r)
+        y = r - self.omega * _op_mv(self.dinv_a_t, r)
         y = (self.w if r.ndim == 1 else self.w[:, None]) * y
         return jax.ops.segment_sum(y, self.agg, num_segments=self.shape[1])
 
@@ -174,6 +209,11 @@ class AMGPreconditioner:
     smoother: str = "jacobi"
     cheb_alpha: float = 8.0
 
+    def _amv(self, lvl: _Level, x):
+        """A_l @ x in the level's format (DIA / hybrid / routed CSR)."""
+        y = _op_mv(lvl.a, x)
+        return ops.spmm(lvl.a, x, method=self.method) if y is None else y
+
     def _smooth(self, lvl: _Level, b, x, sweeps: int):
         if sweeps <= 0:
             return x
@@ -181,9 +221,7 @@ class AMGPreconditioner:
         if self.smoother == "chebyshev":
             return self._chebyshev(lvl, b, x, sweeps, d)
         for _ in range(sweeps):
-            x = x + self.jacobi_omega * d * (
-                b - ops.spmm(lvl.a, x, method=self.method)
-            )
+            x = x + self.jacobi_omega * d * (b - self._amv(lvl, x))
         return x
 
     def _chebyshev(self, lvl: _Level, b, x, degree: int, d):
@@ -201,12 +239,12 @@ class AMGPreconditioner:
         delta = 0.5 * (lmax - lmin)
         sigma = theta / delta
         rho_k = 1.0 / sigma
-        res = d * (b - ops.spmm(lvl.a, x, method=self.method))
+        res = d * (b - self._amv(lvl, x))
         dk = res / theta
         x = x + dk
         for _ in range(degree - 1):
             rho_next = 1.0 / (2.0 * sigma - rho_k)
-            res = d * (b - ops.spmm(lvl.a, x, method=self.method))
+            res = d * (b - self._amv(lvl, x))
             dk = rho_next * rho_k * dk + (2.0 * rho_next / delta) * res
             x = x + dk
             rho_k = rho_next
@@ -220,7 +258,7 @@ class AMGPreconditioner:
             x = jax.scipy.linalg.lu_solve((lu, piv), flat)
             return x if b.ndim == 2 else x[:, 0]
         x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth)
-        r = b - ops.spmm(lvl.a, x, method=self.method)
+        r = b - self._amv(lvl, x)
         if lvl.p_fact is not None:
             rc = lvl.p_fact.rmv(r)
             ec = self._cycle(i + 1, rc)
@@ -244,7 +282,14 @@ class AMGPreconditioner:
 
         lines = ["AMG hierarchy (smoothed aggregation):"]
         for i, l in enumerate(self.levels):
-            fmt = "dia" if isinstance(l.a, _DIA) else "csr"
+            if isinstance(l.a, _DIA):
+                fmt = f"dia:{l.a.offsets.size}"
+            elif isinstance(l.a, _HybridOp):
+                fmt = (
+                    f"dia:{l.a.dia.offsets.size}+csr:{l.a.rem.nnz}"
+                )
+            else:
+                fmt = "csr"
             lines.append(
                 f"  level {i}: n={l.a.shape[0]:>8d} nnz={l.nnz:>10d} [{fmt}]"
                 + ("  [coarse: dense LU]" if l.p is None else "")
@@ -320,10 +365,118 @@ def _h_transpose(ip, ix, d, m, n):
     return t_indptr.astype(_INT), rows[perm].astype(_INT), d[perm]
 
 
+# ---- pytree registration ---------------------------------------------------
+# The hierarchy holds device arrays that can exceed the axon tunnel's
+# ~100 MB jit-literal payload limit (laplace3d_64's L1 DIA plane alone is
+# 219 MB). Closed-over device buffers embed as HLO LITERALS (r2 learning,
+# CLAUDE.md), so the preconditioner must be passable as a jit ARGUMENT:
+# register every container as a pytree (arrays = leaves, scalars/shapes =
+# static aux). jax.jit(M) still works (id-hashable callable); big timed
+# programs thread M through the timer's x0 instead of closing over it.
+
+
+def _register(cls, leaf_fields, aux_fields):
+    def flatten(obj):
+        return (
+            tuple(getattr(obj, f) for f in leaf_fields),
+            tuple(getattr(obj, f) for f in aux_fields),
+        )
+
+    def unflatten(aux, leaves):
+        kw = dict(zip(leaf_fields, leaves))
+        kw.update(zip(aux_fields, aux))
+        return cls(**kw)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+_register(_HybridOp, ("dia", "rem"), ("shape",))
+_register(_FactoredP, ("agg", "w", "dinv_a", "dinv_a_t"), ("omega", "shape"))
+_register(_Level, ("a", "dinv", "p", "r", "p_fact"), ("nnz", "rho"))
+_register(
+    AMGPreconditioner,
+    ("levels", "coarse_lu"),
+    (
+        "jacobi_omega", "presmooth", "postsmooth", "method", "smoother",
+        "cheb_alpha",
+    ),
+)
+
+
+_SCAN_STEP_S = 20e-6  # measured fixed cost per dia_spmm scan step (v5e r3)
+_SCAN_U = 32          # must match ops.dia_spmm's chunk width
+
+
+def _route_level(cur_ip, cur_ix, cur_d, n: int, dtype):
+    """Per-diagonal format routing for a level operator (host, setup).
+
+    Keeps every diagonal whose padded streaming cost (3 fp32 passes of n
+    at dia_bw) is cheaper than gathering its entries (gather floor), up
+    to a 256 MB padded-data budget (largest diagonals first). Returns
+    None for all-CSR, else (dia_host (K, n), offsets (K,), remainder)
+    where remainder is None (pure DIA) or a host CSR triple of the
+    dropped diagonals' entries.
+
+    Many-diagonal acceptance (>128 kept → the chunked-scan lowering)
+    additionally requires the scan path to beat BOTH the gather floor
+    and a block-executor estimate (occupied 128² blocks × the calibrated
+    per-slot overhead): mid-size levels with dense-ish block structure
+    are better served by `ops.spmm(method='auto')`'s executors (measured
+    r3: a 2407-row 279-diagonal level took 0.39 ms on the scan path vs
+    0.015 ms auto-routed), so those stay CSR."""
+    c = ops.get_cost_constants()
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(cur_ip))
+    offs_all = cur_ix.astype(np.int64) - rows
+    u, inv = np.unique(offs_all, return_inverse=True)
+    cnt = np.bincount(inv, minlength=u.size)
+    per_diag = n * 3 * 4.0 / c["dia_bw"]
+    keep = cnt * c["gather_per_nnz_floor"] > per_diag
+    budget = (256 * 1024 * 1024) // max(n * np.dtype(dtype).itemsize, 1)
+    if int(keep.sum()) > budget:
+        order = np.argsort(-cnt)
+        sel = np.zeros(u.size, bool)
+        sel[order[:budget]] = True
+        keep &= sel
+    nd_kept = int(keep.sum())
+    if nd_kept > 128:
+        t_dia = max(
+            nd_kept * n * 3 * 4.0 / c["dia_bw"],
+            -(-nd_kept // _SCAN_U) * _SCAN_STEP_S,
+        )
+        t_gather = float(cur_ip[-1]) * c["gather_per_nnz_floor"]
+        blocks = np.unique(
+            (rows // 128) * (1 + n // 128) + cur_ix.astype(np.int64) // 128
+        ).size
+        t_block = blocks * c["tiled_slot_overhead"] + _SCAN_STEP_S
+        if t_dia >= min(t_gather, t_block):
+            return None
+    if not keep.any():
+        return None
+    kept = np.flatnonzero(keep)
+    slot = np.full(u.size, -1, np.int64)
+    slot[kept] = np.arange(kept.size)
+    in_dia = keep[inv]
+    dia_host = np.zeros((kept.size, n), dtype)
+    dia_host[slot[inv[in_dia]], rows[in_dia]] = cur_d[in_dia].astype(dtype)
+    dia_offs = u[kept]
+    if bool(in_dia.all()):
+        return dia_host, dia_offs, None
+    rem_rows = rows[~in_dia]
+    rem_ip = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rem_rows, minlength=n), out=rem_ip[1:])
+    rem = (
+        rem_ip.astype(_INT),
+        cur_ix[~in_dia].astype(_INT),
+        cur_d[~in_dia],
+    )
+    return dia_host, dia_offs, rem
+
+
 def smoothed_aggregation_setup(
     a: Operator,
     *,
     theta: float = 0.08,
+    theta_decay: float = 0.5,
     max_levels: int = 10,
     coarse_size: int = 200,
     presmooth: int = 2,
@@ -336,7 +489,21 @@ def smoothed_aggregation_setup(
     """Build the AMG hierarchy for (near-)SPD A. Host-side setup over
     concrete values (like `ilu0`/plan building); the result applies
     under jit. θ is the strength threshold, `coarse_size` the dense
-    direct-solve cutoff."""
+    direct-solve cutoff.
+
+    The strength threshold decays ON STALL: a level whose aggregation
+    coarsens by less than 2x retries with θ·theta_decay (repeatedly, to
+    a θ·decay^8 floor; the reached θ carries to coarser levels). Galerkin
+    coarse operators spread their mass over wider, weaker stencils — a
+    FIXED θ then classifies nearly every coarse connection as weak,
+    aggregation degenerates to singletons, and the hierarchy stalls with
+    nearly-dense coarse levels (measured on laplace3d_64: L1→L2
+    coarsened 31868→29282 with L2 44% dense; 31868→2861→66 with the
+    decay). Decaying UNCONDITIONALLY per level (Vaněk's schedule) is
+    worse where fixed θ was fine: on laplace2d_1024 it admitted weak
+    connections into 2-D aggregates and scattered each level over
+    hundreds of 1-entry diagonals (V-cycle 21 ms vs ~7 with the fixed-θ
+    hierarchy, measured r3) — hence decay only when needed."""
     a = _as_csr(a)
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"amg needs square A, got {a.shape}")
@@ -349,6 +516,7 @@ def smoothed_aggregation_setup(
     cur_ix = np.asarray(a.indices)
     cur_d = np.asarray(a.data).astype(np.float64)
     cur_a: CSR = a
+    theta_eff = theta  # softened on stall, carried to coarser levels
     while True:
         n = cur_ip.shape[0] - 1
         dvec = np.zeros(n, np.float64)
@@ -365,20 +533,36 @@ def smoothed_aggregation_setup(
         # from the HOST triple (cur_d is already on host; routing through
         # _maybe_dia would pull the device copy back through the tunnel,
         # minutes when the tunnel is slow)
-        from tpusparse.ops import _dia_pattern
         from tpusparse.types import DIA as _DIA
 
-        pat = _dia_pattern(cur_a, 128)
-        dia_host = None
-        if pat is not None and pat[0].size * n * np.dtype(dtype).itemsize <= 256 * 1024 * 1024:
-            offs_d, slot_d, rows_d = pat
-            dia_host = np.zeros((offs_d.size, n), dtype)
-            dia_host[slot_d, rows_d] = cur_d.astype(dtype)
-            a_level = _DIA(
-                data=jnp.asarray(dia_host), offsets=offs_d, shape=(n, n)
-            )
-        else:
+        # Adaptive DIA acceptance (r2 verdict #3): the old fixed 128-offset
+        # cap dropped every non-fine 3-D level to the CSR gather floor
+        # (~15 ns/nnz). DIA cost scales with BYTES (noff·n), not nnz, so
+        # each diagonal is routed individually: keep it when streaming
+        # its padded row beats gathering its entries, gather the tail as
+        # a CSR remainder (_HybridOp). Pure-banded levels come out all-
+        # DIA, genuinely scattered ones all-CSR — no format cliff.
+        split = _route_level(cur_ip, cur_ix, cur_d, n, dtype)
+        dia_host = dia_offs = rem_host = None
+        if split is None:
             a_level = cur_a
+        else:
+            dia_host, dia_offs, rem_host = split
+            dia_part = _DIA(
+                data=jnp.asarray(dia_host), offsets=dia_offs, shape=(n, n)
+            )
+            if rem_host is None:
+                a_level = dia_part
+            else:
+                rem_ip, rem_ix, rem_d = rem_host
+                a_level = _HybridOp(
+                    dia=dia_part,
+                    rem=CSR(
+                        data=jnp.asarray(rem_d.astype(dtype)),
+                        indices=rem_ix, indptr=rem_ip, shape=(n, n),
+                    ),
+                    shape=(n, n),
+                )
         lvl = _Level(
             a=a_level,
             dinv=jnp.asarray(dinv.astype(dtype)),
@@ -387,9 +571,15 @@ def smoothed_aggregation_setup(
         levels.append(lvl)
         if n <= coarse_size or len(levels) >= max_levels:
             break
-        _, strong = _strength_graph(cur_ip, cur_ix, cur_d, theta)
-        agg, n_agg = _aggregate(cur_ip, cur_ix, rows, strong, n)
-        if n_agg >= n:  # coarsening stalled — stop here
+        # decay-on-stall (see docstring): retry aggregation with a
+        # softer threshold while it fails to halve the level
+        while True:
+            _, strong = _strength_graph(cur_ip, cur_ix, cur_d, theta_eff)
+            agg, n_agg = _aggregate(cur_ip, cur_ix, rows, strong, n)
+            if n_agg <= 0.5 * n or theta_eff <= theta * theta_decay ** 8:
+                break
+            theta_eff *= theta_decay
+        if n_agg >= n:  # coarsening stalled even at the θ floor
             break
         # tentative prolongator (host triple, unit columns)
         sizes = np.bincount(agg, minlength=n_agg).astype(np.float64)
@@ -412,10 +602,10 @@ def smoothed_aggregation_setup(
         )
         r_ip, r_ix, r_d = _h_transpose(p_ip, p_ix, p_d, n, n_agg)
         if dia_host is not None:
-            # banded level: apply P in factored form (see _FactoredP);
+            # DIA/hybrid level: apply P in factored form (see _FactoredP);
             # all array construction on host, one push per array
             dinva_host = dia_host * dinv[None, :].astype(dtype)
-            offs_l = lvl.a.offsets
+            offs_l = dia_offs
             t_host = np.zeros_like(dinva_host)
             for d_i in range(offs_l.size - 1, -1, -1):
                 off = int(offs_l[d_i])
@@ -427,19 +617,44 @@ def smoothed_aggregation_setup(
                     ]
             from tpusparse.types import DIA as _DIA2
 
+            dinv_a = _DIA2(
+                data=jnp.asarray(dinva_host), offsets=offs_l, shape=(n, n)
+            )
+            dinv_a_t = _DIA2(
+                data=jnp.asarray(t_host),
+                offsets=np.sort(-offs_l[::-1]),
+                shape=(n, n),
+            )
+            if rem_host is not None:
+                # remainder of D⁻¹A rides the gather path in both
+                # directions — scale rows by dinv, transpose on host
+                rem_ip, rem_ix, rem_d = rem_host
+                rem_rows = np.repeat(
+                    np.arange(n, dtype=np.int64), np.diff(rem_ip)
+                )
+                rda = rem_d * dinv[rem_rows]
+                rt_ip, rt_ix, rt_d = _h_transpose(rem_ip, rem_ix, rda, n, n)
+                dinv_a = _HybridOp(
+                    dia=dinv_a,
+                    rem=CSR(
+                        data=jnp.asarray(rda.astype(dtype)),
+                        indices=rem_ix, indptr=rem_ip, shape=(n, n),
+                    ),
+                    shape=(n, n),
+                )
+                dinv_a_t = _HybridOp(
+                    dia=dinv_a_t,
+                    rem=CSR(
+                        data=jnp.asarray(rt_d.astype(dtype)),
+                        indices=rt_ix, indptr=rt_ip, shape=(n, n),
+                    ),
+                    shape=(n, n),
+                )
             lvl.p_fact = _FactoredP(
                 agg=jnp.asarray(agg.astype(_INT)),
                 w=jnp.asarray(pt_d.astype(dtype)),
-                dinv_a=_DIA2(
-                    data=jnp.asarray(dinva_host),
-                    offsets=offs_l,
-                    shape=(n, n),
-                ),
-                dinv_a_t=_DIA2(
-                    data=jnp.asarray(t_host),
-                    offsets=np.sort(-offs_l[::-1]),
-                    shape=(n, n),
-                ),
+                dinv_a=dinv_a,
+                dinv_a_t=dinv_a_t,
                 omega=float(omega),
                 shape=(n, n_agg),
             )
