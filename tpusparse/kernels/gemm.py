@@ -40,11 +40,6 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int, precision):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@eager_precision
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "precision"),
-)
 def gemm_pallas(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -55,7 +50,18 @@ def gemm_pallas(
     out_dtype=None,
     precision: str | None = None,
 ) -> jnp.ndarray:
-    """C = A @ B for 2-D operands, fp32 accumulation on the MXU."""
+    """C = A @ B for 2-D operands, fp32 accumulation on the MXU.
+
+    Tile resolution (EAGER — outside the jit boundary, so tuning and
+    config changes are never frozen into a stale trace, the
+    eager_precision rule): explicit block_* args > user-tuned
+    set_config(gemm_block_*) > persisted autotuned tile for this exact
+    (m, k, n, dtype) (`autotune_gemm`, ~/.tpusparse/calibration.json) >
+    size heuristic from the r3 interleaved-median sweeps on v5e:
+    ≤4096-class problems run fastest with (512, N-span, 512) (209 TF at
+    4096² bf16 vs 190 for r2's (1024, N, 512)); larger problems with
+    (2048, 2048, 512) — measured 190 TF = 1.10x XLA at 8192² bf16.
+    """
     if a.ndim != 2 or b.ndim != 2:
         raise ValueError(f"gemm_pallas is 2-D only, got {a.shape} @ {b.shape}")
     m, k = a.shape
@@ -63,28 +69,54 @@ def gemm_pallas(
     if k != k2:
         raise ValueError(f"contraction mismatch: {a.shape} @ {b.shape}")
     cfg = get_config()
-    out_dtype = out_dtype or jnp.result_type(a.dtype, b.dtype)
-
-    # MXU/VPU-aligned tiles: sublane multiples of 8, lane multiples of 128.
-    # Size-adaptive defaults from the r2 interleaved-median sweep on v5e:
-    # ≤4096-class problems run fastest with the full-N-span (1024, N, 512)
-    # tile (177-214 TF, 0.90-1.02x XLA across tenancy swings); larger
-    # problems with the config defaults (2048, 1024, 512) — measured XLA
-    # parity at 8192² (167.0 vs 166.7 TF). Explicit block_* args override.
-    # ... but only when the config tiles are also the untouched defaults —
-    # a user-tuned set_config(gemm_block_*) must win over the size heuristic
     cfg_default = (cfg.gemm_block_m, cfg.gemm_block_n, cfg.gemm_block_k) == (
         type(cfg).gemm_block_m,
         type(cfg).gemm_block_n,
         type(cfg).gemm_block_k,
     )
-    if block_m is None and block_n is None and block_k is None and (
-        cfg_default and max(m, n, k) <= 4096
-    ):
-        block_m, block_n, block_k = 1024, 4096, 512
-    bm = min(block_m or cfg.gemm_block_m, round_up(m, 8))
-    bn = min(block_n or cfg.gemm_block_n, round_up(n, 128))
-    bk = min(block_k or cfg.gemm_block_k, round_up(k, 128))
+    if block_m is None and block_n is None and block_k is None and cfg_default:
+        tuned = _tuned_tile(m, k, n, jnp.dtype(a.dtype).name)
+        if tuned is not None:
+            block_m, block_n, block_k = tuned
+        elif max(m, n, k) <= 4096:
+            block_m, block_n, block_k = 512, 4096, 512
+        else:
+            block_m, block_n, block_k = 2048, 2048, 512
+    return _gemm_pallas_jit(
+        a,
+        b,
+        block_m=block_m or cfg.gemm_block_m,
+        block_n=block_n or cfg.gemm_block_n,
+        block_k=block_k or cfg.gemm_block_k,
+        out_dtype=out_dtype,
+        precision=precision,
+    )
+
+
+@eager_precision
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "precision"),
+)
+def _gemm_pallas_jit(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_m: int,
+    block_n: int,
+    block_k: int,
+    out_dtype=None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    m, k = a.shape
+    _, n = b.shape
+    cfg = get_config()
+    out_dtype = out_dtype or jnp.result_type(a.dtype, b.dtype)
+
+    # MXU/VPU-aligned tiles: sublane multiples of 8, lane multiples of 128
+    bm = min(block_m, round_up(m, 8))
+    bn = min(block_n, round_up(n, 128))
+    bk = min(block_k, round_up(k, 128))
 
     mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
     if (mp, kp) != (m, k):
@@ -125,3 +157,130 @@ def gemm_pallas(
     if (mp, np_) != (m, n):
         out = out[:m, :n]
     return out
+
+
+# -----------------------------------------------------------------------------
+# Autotuner — a short on-chip sweep over a curated tile set, persisted per
+# (m, k, n, dtype) next to the router calibration
+# (~/.tpusparse/calibration.json, backend/device-kind guarded). The analog
+# of the reference inspector's offline tuning pass (SURVEY.md §7.3) for the
+# dense kernel: the decision procedure is fixed, the machine constants are
+# measured locally.
+# -----------------------------------------------------------------------------
+
+_TILE_CACHE: dict = {}
+_TILE_CACHE_LOADED = False
+
+
+def _tile_key(m: int, k: int, n: int, dtype_name: str) -> str:
+    return f"{m}x{k}x{n}x{dtype_name}"
+
+
+def _tuned_tile(m: int, k: int, n: int, dtype_name: str):
+    global _TILE_CACHE_LOADED
+    if not _TILE_CACHE_LOADED:
+        from tpusparse.utils.calibrate import load_gemm_tiles
+
+        _TILE_CACHE.update(load_gemm_tiles())
+        _TILE_CACHE_LOADED = True
+    hit = _TILE_CACHE.get(_tile_key(m, k, n, dtype_name))
+    return tuple(hit) if hit else None
+
+
+def _tile_candidates(m: int, k: int, n: int):
+    """Curated candidate tiles (r3 sweep): full-N-span with small bm for
+    ≤4096-class, square-ish 2048 tiles for larger, plus the neighbors
+    that won at least one shape/session."""
+    cands = [
+        (512, 4096, 512),
+        (512, 4096, 256),
+        (1024, 4096, 512),
+        (256, 4096, 512),
+        (2048, 2048, 512),
+        (1024, 2048, 512),
+        (2048, 1024, 512),
+        (512, 2048, 512),
+        (1024, 4096, 1024),
+    ]
+    out = []
+    for bm, bn, bk in cands:
+        t = (min(bm, round_up(m, 8)), min(bn, round_up(n, 128)),
+             min(bk, round_up(k, 128)))
+        if t not in out:
+            out.append(t)
+    return out
+
+
+def autotune_gemm(
+    m: int,
+    k: int,
+    n: int,
+    dtype=jnp.bfloat16,
+    *,
+    repeats: int = 2,
+    save: bool = True,
+    verbose: bool = True,
+):
+    """Measure the curated tile candidates for (m, k, n, dtype) on the
+    local chip and persist the winner; subsequent `gemm_pallas` calls at
+    this exact shape pick it up automatically (resolved eagerly, so
+    already-running processes see it on their next call too).
+
+    ~8 candidates x (compile + chained timing) — roughly a minute per
+    shape on a v5e behind the tunnel. Raises on CPU (interpret-mode
+    times would be meaningless). Returns (tile, tflops).
+    """
+    from tpusparse.utils.timing import device_time_per_iter
+
+    if jax.default_backend() == "cpu":
+        raise RuntimeError("autotune_gemm must run on the real TPU backend")
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(
+        rng.standard_normal((m, k)).astype(np.float32)
+    ).astype(dtype)
+    bmat = jnp.asarray(
+        rng.standard_normal((k, n)).astype(np.float32)
+    ).astype(dtype)
+
+    flops = 2.0 * m * n * k
+    best, best_t = None, float("inf")
+    for tile in _tile_candidates(m, k, n):
+        bm, bn, bk = tile
+
+        # time with the standard chained device timer; thread the LHS so
+        # each iteration depends on the previous (0*max is unfoldable)
+        def chained(x, bm=bm, bn=bn, bk=bk):
+            y = gemm_pallas(x, bmat, block_m=bm, block_n=bn, block_k=bk)
+            s = jnp.abs(y).max().astype(x.dtype)
+            return x * (1.0 + 0.0 * s)
+
+        try:
+            ts = [
+                device_time_per_iter(chained, a, iters_lo=2, iters_hi=6)
+                for _ in range(repeats)
+            ]
+        except Exception as e:  # Mosaic reject / VMEM overflow: skip tile
+            if verbose:
+                print(f"[autotune] {tile}: failed ({str(e)[:80]})", flush=True)
+            continue
+        t = float(np.median(ts))
+        if verbose:
+            print(f"[autotune] {tile}: {flops / t / 1e12:.1f} TFLOP/s", flush=True)
+        if t < best_t:
+            best, best_t = tile, t
+    if best is None:
+        raise RuntimeError("autotune_gemm: every candidate failed to compile")
+    key = _tile_key(m, k, n, jnp.dtype(dtype).name)
+    _TILE_CACHE[key] = list(best)
+    if save:
+        from tpusparse.utils.calibrate import save_gemm_tile
+
+        save_gemm_tile(key, best)
+    if verbose:
+        print(
+            f"[autotune] best {best} = {flops / best_t / 1e12:.1f} TFLOP/s",
+            flush=True,
+        )
+    return best, flops / best_t / 1e12

@@ -53,11 +53,58 @@ def save_calibration(constants: Dict[str, float], path: Optional[str] = None) ->
 
     path = path or calibration_path()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    payload = {
-        "constants": {k: float(v) for k, v in constants.items()},
-        "backend": jax.default_backend(),
-        "device_kind": jax.devices()[0].device_kind,
-    }
+    payload = _read_raw(path) or {}
+    payload.update(
+        constants={k: float(v) for k, v in constants.items()},
+        backend=jax.default_backend(),
+        device_kind=jax.devices()[0].device_kind,
+    )
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+    return path
+
+
+def _read_raw(path: Optional[str] = None) -> Optional[dict]:
+    try:
+        with open(path or calibration_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _device_matches(payload: dict) -> bool:
+    import jax
+
+    fitted_on = payload.get("backend")
+    if fitted_on is not None and fitted_on != jax.default_backend():
+        return False
+    kind = payload.get("device_kind")
+    return kind is None or kind == jax.devices()[0].device_kind
+
+
+def load_gemm_tiles(path: Optional[str] = None) -> Dict[str, list]:
+    """Persisted autotuned GEMM tiles {'mxkxnxdtype': [bm, bn, bk]} —
+    empty if absent or fitted on a different backend/device kind."""
+    payload = _read_raw(path)
+    if not payload or not _device_matches(payload):
+        return {}
+    tiles = payload.get("gemm_tiles", {})
+    return {k: list(map(int, v)) for k, v in tiles.items()} if isinstance(tiles, dict) else {}
+
+
+def save_gemm_tile(key: str, tile, path: Optional[str] = None) -> str:
+    """Record one autotuned tile under 'gemm_tiles' (creates the file
+    with the current backend stamp if needed; preserves constants)."""
+    import jax
+
+    path = path or calibration_path()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = _read_raw(path) or {}
+    if payload and not _device_matches(payload):
+        payload = {}  # stale fit from another device — start fresh
+    payload.setdefault("backend", jax.default_backend())
+    payload.setdefault("device_kind", jax.devices()[0].device_kind)
+    payload.setdefault("gemm_tiles", {})[key] = [int(x) for x in tile]
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
     return path
