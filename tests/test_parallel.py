@@ -462,3 +462,61 @@ def test_sharded_dia_matvec_and_cg():
     )
     with pytest.raises(ValueError, match="bandwidth"):
         make_sharded_dia_matvec(wide, mesh)
+
+
+# ---------------------------------------------------------------------------
+# r3: scaling projection — the comm model must count exactly the bytes the
+# shard_map program moves (BASELINE configs[4], falsifiable before hardware)
+# ---------------------------------------------------------------------------
+
+
+class TestScalingProjection:
+    def test_halo_comm_matches_traced_program(self, mesh8):
+        from tpusparse.parallel import count_ppermute_bytes
+        from tpusparse.parallel.projection import halo_comm_bytes_per_dev
+        from tpusparse.parallel.spmm import halo_spmm, shard_plan_2d
+
+        a = random_csr(3, (256, 256), 0.06)
+        hsp = shard_plan_2d(a, 8, (8, 16))
+        n = 24
+        b = jnp.zeros((256, n), jnp.float32)
+        mesh = make_mesh((8,), ("model",))
+        counted = count_ppermute_bytes(
+            lambda d, bb: halo_spmm(hsp, d, bb, mesh), a.data, b
+        )
+        assert counted > 0
+        assert counted == halo_comm_bytes_per_dev(hsp, n)
+
+    def test_sharded_spmm_moves_nothing(self):
+        from tpusparse.parallel import count_ppermute_bytes
+        from tpusparse.parallel.spmm import sharded_spmm, shard_plan_rows
+
+        a = random_csr(4, (256, 256), 0.06)
+        rsp = shard_plan_rows(a, 8, (8, 16))
+        b = jnp.zeros((256, 24), jnp.float32)
+        mesh = make_mesh((8,), ("model",))
+        counted = count_ppermute_bytes(
+            lambda d, bb: sharded_spmm(rsp, d, bb, mesh), a.data, b
+        )
+        assert counted == 0
+
+    def test_projection_shape_and_monotonicity(self):
+        from tpusparse.parallel import (
+            project_halo_spmm,
+            project_sharded_spmm,
+            projection_table,
+        )
+
+        a = random_csr(5, (4096, 4096), 0.02)
+        for projs in (
+            project_sharded_spmm(a, 512, (2, 4, 8), (128, 128)),
+            project_halo_spmm(a, 512, (2, 4, 8), (128, 128)),
+        ):
+            assert [p.ndev for p in projs] == [2, 4, 8]
+            for p in projs:
+                assert 0.0 < p.efficiency <= 1.25  # rounding headroom only
+                assert p.t_total_s >= p.t_compute_s / (p.ndev + 1)
+            # more devices never increases per-device critical-path time
+            assert projs[-1].t_total_s <= projs[0].t_total_s * 1.01
+        table = projection_table(projs, "halo")
+        assert "eff" in table and table.count("\n") >= 3

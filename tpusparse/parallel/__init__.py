@@ -8,6 +8,13 @@ from tpusparse.parallel.spmm import (
     halo_spmm,
 )
 from tpusparse.parallel.train import make_sharded_train_state, make_sharded_train_step
+from tpusparse.parallel.projection import (
+    ScalingProjection,
+    project_sharded_spmm,
+    project_halo_spmm,
+    projection_table,
+    count_ppermute_bytes,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,6 +27,11 @@ __all__ = [
     "halo_spmm",
     "make_sharded_train_state",
     "make_sharded_train_step",
+    "ScalingProjection",
+    "project_sharded_spmm",
+    "project_halo_spmm",
+    "projection_table",
+    "count_ppermute_bytes",
 ]
 from tpusparse.parallel.bert import (
     bert_param_specs,
