@@ -370,30 +370,21 @@ def main():
     # (tests/naive_kernel_test.py:66-68). r3 folds batch into the executor's
     # n-grid (ONE launch, the reference's matmuls.py:282-288 flatten); the
     # old per-element lax.map path is timed alongside as the baseline.
-    from tpusparse.ops import _tiled_spmm
-    from tpusparse.plan import build_plan_pair
-
     a_bert = ts.random_csr(11, (512, 512), 0.10)
-    plans_bert = build_plan_pair(a_bert, (128, 128))
     b4 = jax.random.uniform(jax.random.PRNGKey(12), (4096, 512, 64))
 
     def bert_fold_step(x):
         y = ts.spmm(a_bert, x, method="tiled")
         return y / (1.0 + jnp.abs(y).max())
 
-    def bert_map_step(x):
-        y = jax.lax.map(
-            lambda bb: _tiled_spmm(*plans_bert, a_bert.data, bb), x
-        )
-        return y / (1.0 + jnp.abs(y).max())
-
     t_fold = device_time_per_iter(bert_fold_step, b4, iters_lo=2, iters_hi=6)
-    t_map = device_time_per_iter(bert_map_step, b4, iters_lo=1, iters_hi=2)
     details["batched_spmm_bert4d"] = {
         "batch": 4096,
         "fold_ms": t_fold * 1e3,
-        "lax_map_ms": t_map * 1e3,
-        "speedup": t_map / t_fold,
+        # the replaced lax.map path measured 20.8 ms same-session when the
+        # fold landed (2.1x, RESULTS.md r3); compiling a 4096-length scan
+        # every round just to re-time the old path blew the bench budget
+        "lax_map_ms_r3_record": 20.81,
     }
 
     # merge-preserve: other benchmarks (AMG, DIA, ...) record their own
