@@ -676,13 +676,14 @@ def smoothed_aggregation_setup(
             # is for lexicographic grids; far stragglers ride each
             # plan's built-in exception path)
             from tpusparse.kernels.windowed import (
-                windowed_gather_plan, windowed_segment_plan)
+                modeled_cost_s, windowed_gather_plan,
+                windowed_segment_plan, xla_index_cost_s)
 
             gplan = windowed_gather_plan(agg, n_agg)
-            if gplan.window > 2048 or gplan.exception_fraction > 0.05:
-                gplan = None
+            if modeled_cost_s(gplan) > 0.67 * xla_index_cost_s(n):
+                gplan = None  # not decisively faster than the XLA op
             splan = windowed_segment_plan(agg, n_agg)
-            if splan.window > 4096 or splan.exception_fraction > 0.05:
+            if modeled_cost_s(splan) > 0.67 * xla_index_cost_s(n):
                 splan = None
             lvl.p_fact = _FactoredP(
                 agg=jnp.asarray(agg.astype(_INT)),

@@ -45,6 +45,8 @@ __all__ = [
     "windowed_gather",
     "windowed_segment_plan",
     "windowed_segment_sum",
+    "modeled_cost_s",
+    "xla_index_cost_s",
 ]
 
 _SPAN = 128          # indices per sublane-row span (one window each)
@@ -52,6 +54,22 @@ _BLOCK_SPANS = 8     # spans per grid cell -> (8, 128) output blocks
 _CHUNK_COST_S = 50e-9  # measured per span-chunk sweep cost (v5e r3:
 #                        1M-gather at W=512 = 1.6 ms over 32768 chunks)
 _EXC_COST_S = 20e-9    # per-element XLA exception-path cost
+
+
+def modeled_cost_s(plan) -> float:
+    """Projected kernel time (s) for a windowed plan — the span sweeps
+    plus the exception path; callers compare against `xla_index_cost_s`
+    before adopting a plan."""
+    return (
+        plan.starts.size * (plan.window // _SPAN) * _CHUNK_COST_S
+        + plan.exc_pos.size * _EXC_COST_S
+    )
+
+
+def xla_index_cost_s(n: int) -> float:
+    """Projected XLA gather/segment-sum time: ~10 ns/element (the
+    measured 15 ns floor, discounted for nearly-sorted index maps)."""
+    return n * 10e-9
 
 
 def _pick_window(widths: np.ndarray, nspan: int, cap: int) -> int:
