@@ -183,3 +183,51 @@ def test_quantized_matmul_big_k_dispatches_ring(rng):
     ref = a_sp.toarray().astype(np.float64) @ b.astype(np.float64)
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 2e-2, rel
+
+
+class TestDenseInt8:
+    """Dense int8 serving tier (r3): gemm_int8_pallas + the QuantizedDense
+    inspect-once wrapper. The s8xs8->s32 kernel is EXACT in int32, so the
+    kernel test compares bitwise against numpy int32."""
+
+    def test_int8_gemm_exact_vs_numpy(self, rng):
+        from tpusparse.kernels.gemm import gemm_int8_pallas
+
+        a = rng.integers(-127, 128, (96, 200)).astype(np.int8)
+        b = rng.integers(-127, 128, (200, 160)).astype(np.int8)
+        out = np.asarray(gemm_int8_pallas(jnp.asarray(a), jnp.asarray(b)))
+        ref = a.astype(np.int32) @ b.astype(np.int32)
+        assert (out == ref).all()
+
+    def test_int8_gemm_rejects_float(self):
+        from tpusparse.kernels.gemm import gemm_int8_pallas
+
+        with pytest.raises(TypeError, match="int8"):
+            gemm_int8_pallas(jnp.zeros((8, 8)), jnp.zeros((8, 8), jnp.int8))
+
+    def test_quantized_matmul_error_class(self, rng):
+        from tpusparse.quant import quantized_matmul
+
+        a = rng.standard_normal((64, 256)).astype(np.float32)
+        b = rng.standard_normal((256, 48)).astype(np.float32)
+        out = np.asarray(quantized_matmul(jnp.asarray(a), jnp.asarray(b)))
+        ref = a.astype(np.float64) @ b.astype(np.float64)
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert 1e-4 < rel < 5e-2, rel  # int8 information limit, not broken
+
+    def test_quantized_dense_serving(self, rng):
+        from tpusparse.quant import QuantizedDense
+
+        w = rng.standard_normal((48, 128)).astype(np.float32)
+        qd = QuantizedDense(jnp.asarray(w))
+        x = rng.standard_normal((128, 8)).astype(np.float32)
+        out = np.asarray(qd @ jnp.asarray(x))
+        ref = w.astype(np.float64) @ x.astype(np.float64)
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 5e-2, rel
+        v = np.asarray(qd.matmul(jnp.asarray(x[:, 0])))
+        assert v.shape == (48,)
+        dq_err = np.abs(np.asarray(qd.dequantize()) - w).max()
+        assert dq_err < np.abs(w).max() / 100
+        with pytest.raises(ValueError, match="incompatible"):
+            qd.matmul(jnp.zeros((64, 3)))

@@ -88,7 +88,7 @@ from tpusparse.amg import amg_preconditioner, smoothed_aggregation_setup
 from tpusparse.linalg import speye
 from tpusparse import patch
 from tpusparse import quant
-from tpusparse.quant import QuantizedMatrix
+from tpusparse.quant import QuantizedMatrix, QuantizedDense, quantized_matmul
 from tpusparse.utils.calibrate import calibrate
 from tpusparse.patch import PatchedDense, patch_flax_dense, sparsify_dense_params
 
@@ -158,6 +158,8 @@ __all__ = [
     "patch",
     "quant",
     "QuantizedMatrix",
+    "QuantizedDense",
+    "quantized_matmul",
     "calibrate",
     "PatchedDense",
     "patch_flax_dense",

@@ -284,3 +284,95 @@ def autotune_gemm(
             flush=True,
         )
     return best, flops / best_t / 1e12
+
+
+# -----------------------------------------------------------------------------
+# int8 GEMM — the dense serving tier (reference analog: none; completes the
+# framework's precision ladder fp32-3pass / bf16 / int8 across dense AND
+# sparse). s8 x s8 -> s32 runs the MXU at 2x the bf16 rate on v5e
+# (394 TOPS peak); scales are applied by the caller (quant.quantized_matmul
+# fuses the rank-1 rescale into one XLA pass over the int32 result).
+# -----------------------------------------------------------------------------
+
+
+def _gemm_s8_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k")
+)
+def gemm_int8_pallas(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
+) -> jnp.ndarray:
+    """C = A @ B for int8 operands with exact int32 accumulation.
+
+    Returns int32 — the caller owns dequantization (a rank-1 rescale for
+    per-row/per-column scale vectors). int8 tiles carry half the bytes of
+    bf16, so block_k doubles relative to the bf16 defaults.
+    """
+    if a.dtype != jnp.int8 or b.dtype != jnp.int8:
+        raise TypeError(f"gemm_int8_pallas needs int8 operands, got "
+                        f"{a.dtype}/{b.dtype}")
+    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
+        raise ValueError(f"bad shapes: {a.shape} @ {b.shape}")
+    m, k = a.shape
+    _, n = b.shape
+    cfg = get_config()
+    if block_m is None and block_n is None and block_k is None:
+        if max(m, n, k) <= 4096:
+            block_m, block_n, block_k = 512, 4096, 1024
+        else:
+            block_m, block_n, block_k = 2048, 2048, 1024
+    bm = min(block_m or 512, round_up(m, 32))
+    bn = min(block_n or 2048, round_up(n, 128))
+    bk = min(block_k or 1024, round_up(k, 128))
+
+    mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
+    if (mp, kp) != (m, k):
+        a = jnp.pad(a, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+    nk = kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_gemm_s8_kernel, nk=nk),
+        grid=(mp // bm, np_ // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),
+            pl.BlockSpec((bk, bn), lambda i, j, s: (s, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + 4 * mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(a, b)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out

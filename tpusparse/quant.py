@@ -168,3 +168,69 @@ class QuantizedMatrix:
             f"nblocks={self.plan.nblocks}, blocksize={self.plan.blocksize}, "
             f"int8 + per-block scales)"
         )
+
+
+def quantize_rows(a: jnp.ndarray):
+    """Per-row symmetric int8 quantization: (q (m, k) int8, s (m,) f32)
+    with a ≈ s[:, None] * q. Row grain matches the GEMM contraction — the
+    dequantized product is a rank-1 rescale of the int32 result."""
+    if a.ndim != 2:
+        raise ValueError(f"quantize_rows takes a 2-D array, got {a.shape}")
+    amax = jnp.max(jnp.abs(a), axis=1)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(a / s[:, None]), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def quantized_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dense int8 serving matmul: per-row-quantize A, per-column-quantize
+    B, one s8xs8->s32 Pallas GEMM pass (2x the bf16 MXU rate on v5e),
+    rank-1 dequantize. ~1e-2 relative error (the int8 information
+    limit) — an explicit serving-tier opt-in, like `QuantizedMatrix`
+    for the sparse side. No reference analog (its cuBLAS path is fp32
+    only, baseline_mm.cu:59); completes the framework's precision
+    ladder (fp32-3pass / bf16 / int8) across dense and sparse."""
+    from tpusparse.kernels.gemm import gemm_int8_pallas
+
+    qa, sa = quantize_rows(a)
+    qb, sb = quantize_columns(b)
+    acc = gemm_int8_pallas(qa, qb)
+    return acc.astype(jnp.float32) * sa[:, None] * sb[None, :]
+
+
+class QuantizedDense:
+    """A dense weight held in int8 for inspect-once/serve-many matmuls.
+
+    The dense analog of `QuantizedMatrix`: the weight is quantized ONCE
+    (per-row scales); each `matmul(x)` quantizes only the activation
+    panel (per-column scales) and runs the int8 Pallas GEMM.
+    """
+
+    def __init__(self, w: jnp.ndarray):
+        if w.ndim != 2:
+            raise ValueError(f"QuantizedDense takes a 2-D weight, got {w.shape}")
+        self.qw, self.sw = quantize_rows(jnp.asarray(w))
+        self.shape = tuple(w.shape)
+
+    def matmul(self, x: jnp.ndarray) -> jnp.ndarray:
+        from tpusparse.kernels.gemm import gemm_int8_pallas
+
+        vec = x.ndim == 1
+        if vec:
+            x = x[:, None]
+        if x.ndim != 2 or x.shape[0] != self.shape[1]:
+            raise ValueError(
+                f"x shape {x.shape} incompatible with weight {self.shape}"
+            )
+        qx, sx = quantize_columns(x)
+        acc = gemm_int8_pallas(self.qw, qx)
+        out = acc.astype(jnp.float32) * self.sw[:, None] * sx[None, :]
+        return out[:, 0] if vec else out
+
+    __matmul__ = matmul
+
+    def dequantize(self) -> jnp.ndarray:
+        return self.qw.astype(jnp.float32) * self.sw[:, None]
+
+    def __repr__(self):
+        return f"QuantizedDense(shape={self.shape}, int8 + f32 row scales)"
