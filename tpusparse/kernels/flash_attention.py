@@ -1164,3 +1164,196 @@ def block_flash_attention_diff(q, k, v, plan, sm_scale=None, precision=None):
     return _block_flash_attention_diff(
         q, k, v, plan, sm_scale, precision or get_config().precision
     )
+
+
+# -----------------------------------------------------------------------------
+# int8-KV flash attention — the serving tier for long-context attention.
+# The decode/serving bottleneck is streaming the KV cache through VMEM;
+# holding K/V as int8 with per-(batch·head) symmetric scales halves that
+# traffic and cache footprint. Q stays in float; K tiles dequantize on the
+# VPU right before the MXU dot (a per-head K scale folds into sm_scale, a
+# per-head V scale folds into the epilogue, so the dequant costs one cast).
+# Forward-only by design (serving; train in bf16/fp32 tiers). Extends the
+# precision ladder (fp32-3pass / bf16 / int8) to attention — the reference
+# has no attention kernels at all (its BERT recipe swaps two matmuls,
+# README.md:61-80).
+# -----------------------------------------------------------------------------
+
+
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray):
+    """Per-(batch·head) symmetric int8 quantization of a KV cache.
+
+    k/v: (..., seq, head_dim). Returns (kq, ks, vq, vs) with
+    kq/vq int8 of the same shape and ks/vs f32 of the leading shape —
+    k ≈ ks[..., None, None] * kq. Jittable (runs per cache append)."""
+    def one(x):
+        amax = jnp.max(jnp.abs(x), axis=(-2, -1))
+        s = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(
+            jnp.round(x / s[..., None, None]), -127, 127
+        ).astype(jnp.int8)
+        return q, s.astype(jnp.float32)
+
+    kq, ks = one(k)
+    vq, vs = one(v)
+    return kq, ks, vq, vs
+
+
+def _flash_q8_kernel(
+    offs_ref,    # (2,) int32 prefetch: global q/kv offsets
+    scales_ref,  # (2, bh) f32 prefetch: per-head K and V scales
+    q_ref, kq_ref, vq_ref,
+    o_ref,
+    m_scr, l_scr, acc_scr,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    kv_len: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def _block():
+        q = q_ref[0]
+        k = kq_ref[0].astype(q.dtype)  # one VPU cast; scale rides sm_scale
+        s = mxu.dot_nt(q, k, jax.lax.Precision.DEFAULT) * (
+            sm_scale * scales_ref[0, b]
+        )
+        key_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        mask = key_pos < kv_len
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0
+            )
+            mask = mask & (offs_ref[1] + key_pos <= offs_ref[0] + q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * corr + mxu.dot(
+            p.astype(q.dtype), vq_ref[0].astype(q.dtype),
+            jax.lax.Precision.DEFAULT,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        @pl.when(
+            offs_ref[1] + ki * block_k
+            <= offs_ref[0] + qi * block_q + block_q - 1
+        )
+        def _():
+            _block()
+    else:
+        _block()
+
+    @pl.when(ki == nk - 1)
+    def _final():
+        l = l_scr[:, :1]
+        o_ref[0] = (
+            acc_scr[:] / jnp.where(l == 0.0, 1.0, l) * scales_ref[1, b]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k"),
+)
+def flash_attention_q8(
+    q: jnp.ndarray,
+    kq: jnp.ndarray,
+    ks: jnp.ndarray,
+    vq: jnp.ndarray,
+    vs: jnp.ndarray,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    q_offset=0,
+    kv_offset=0,
+) -> jnp.ndarray:
+    """softmax(Q·(ks·Kq)ᵀ·scale) · (vs·Vq), fused, int8 K/V.
+
+    Shapes as flash_attention; kq/vq int8 from `quantize_kv`, ks/vs the
+    per-(batch·head) scales. Serving-tier numerics (~1e-2 rel err vs the
+    float kernel — the int8 information limit); forward only."""
+    if q.shape != kq.shape or kq.shape != vq.shape:
+        raise ValueError(f"q/kq/vq shapes differ: {q.shape} {kq.shape} {vq.shape}")
+    if kq.dtype != jnp.int8 or vq.dtype != jnp.int8:
+        raise TypeError(f"kq/vq must be int8, got {kq.dtype}/{vq.dtype}")
+    *lead, s, d = q.shape
+    if tuple(ks.shape) != tuple(lead) or tuple(vs.shape) != tuple(lead):
+        raise ValueError(
+            f"scales must have the leading shape {tuple(lead)}, got "
+            f"{ks.shape}/{vs.shape}"
+        )
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    bq = min(block_q, round_up(s, 128))
+    bk = min(block_k, round_up(s, 128))
+    sp = round_up(s, bq * bk // math.gcd(bq, bk))
+    dp = round_up(d, 128)
+    bh = 1
+    for x in lead:
+        bh *= x
+    q3 = q.reshape(bh, s, d)
+    k3 = kq.reshape(bh, s, d)
+    v3 = vq.reshape(bh, s, d)
+    if (sp, dp) != (s, d):
+        pad = ((0, 0), (0, sp - s), (0, dp - d))
+        q3, k3, v3 = (jnp.pad(x, pad) for x in (q3, k3, v3))
+    scales = jnp.stack(
+        [ks.reshape(bh), vs.reshape(bh)]
+    ).astype(jnp.float32)
+    offs = jnp.asarray(
+        [jnp.int32(q_offset), jnp.int32(kv_offset)], dtype=jnp.int32
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_q8_kernel,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_q=bq,
+            block_k=bk,
+            kv_len=s,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, sp // bq, sp // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, dp), lambda b, i, j, offs, sc: (b, i, 0)),
+                pl.BlockSpec((1, bk, dp), lambda b, i, j, offs, sc: (b, j, 0)),
+                pl.BlockSpec((1, bk, dp), lambda b, i, j, offs, sc: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bq, dp), lambda b, i, j, offs, sc: (b, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, dp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sp, dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=get_config().vmem_limit_bytes,
+        ),
+        interpret=interpret_mode(),
+    )(offs, scales, q3, k3, v3)
+    return out[:, :s, :d].reshape(*lead, s, d)
