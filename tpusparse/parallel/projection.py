@@ -67,14 +67,34 @@ class ScalingProjection:
 
 
 def _chunk_time(nslots_sum: int, nbr: int, L: int, bm: int, bk: int,
-                n: int, c: dict) -> float:
-    """Projected ELL-ring executor time for one device chunk — the same
-    max(bandwidth, per-slot) model `ops._route_spmm` uses, applied to the
-    chunk's REAL slot counts (padding included)."""
+                n: int, c: dict, kp: int = 0) -> float:
+    """Projected executor time for one device chunk — the same
+    max(bandwidth, per-slot) model `ops._route_spmm` uses, applied to
+    the chunk's REAL slot counts. When `kp` (the chunk's padded K
+    extent) is given and the B panel fits the VMEM budget, the resident
+    executor's traffic model applies (panel DMA'd once per n-tile
+    instead of a B tile per slot) — matching halo_spmm's per-step
+    dispatch."""
+    from tpusparse.utils.config import get_config
+
     ntile = max(n // 512, 1)
-    bytes_moved = (
-        nslots_sum * (bk * min(n, 512) + bm * bk) * 4.0
-    ) * ntile + 2.0 * nbr * bm * n * 4.0
+    bn = min(512, n)
+    cfg = get_config()
+    resident = (
+        kp > 0
+        and kp * bn * 4 + 2 * L * bm * bk * 4 + 2 * bm * bn * 4
+        <= cfg.vmem_limit_bytes
+    )
+    if resident:
+        bytes_moved = (
+            kp * bn * 4.0 * ntile            # panel per n-tile
+            + nslots_sum * bm * bk * 4.0     # values once
+            + 2.0 * nbr * bm * n * 4.0       # C read+write
+        )
+    else:
+        bytes_moved = (
+            nslots_sum * (bk * bn + bm * bk) * 4.0
+        ) * ntile + 2.0 * nbr * bm * n * 4.0
     return max(
         bytes_moved / c["tiled_bw"],
         nslots_sum * c["tiled_slot_overhead"] * ntile,
@@ -87,8 +107,9 @@ def _single_dev_time(a: CSR, n: int, blocksize, c: dict) -> float:
 
     rsp1 = shard_plan_rows(a, 1, blocksize)
     ns = int(rsp1.nslots.sum())
+    kp = -(-a.shape[1] // rsp1.blocksize[1]) * rsp1.blocksize[1]
     return _chunk_time(
-        ns, rsp1.nbr_local, rsp1.ell_width, *rsp1.blocksize, n, c
+        ns, rsp1.nbr_local, rsp1.ell_width, *rsp1.blocksize, n, c, kp=kp
     )
 
 
@@ -109,10 +130,11 @@ def project_sharded_spmm(
     for ndev in ndevs:
         rsp = shard_plan_rows(a, ndev, blocksize)
         bm, bk = rsp.blocksize
+        kp = -(-a.shape[1] // bk) * bk  # B replicated: full-k panel
         t_max = max(
             _chunk_time(
                 int(rsp.nslots[i].sum()), rsp.nbr_local, rsp.ell_width,
-                bm, bk, n, c,
+                bm, bk, n, c, kp=kp,
             )
             for i in range(ndev)
         )
@@ -166,6 +188,7 @@ def project_halo_spmm(
                 _chunk_time(
                     int(hsp.nslots[i, (i + s) % ndev].sum()),
                     hsp.nbr_local, hsp.ell_width, bm, bk, n, c,
+                    kp=hsp.cols_per_dev,
                 )
                 for i in range(ndev)
             )

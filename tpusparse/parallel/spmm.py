@@ -166,9 +166,23 @@ def sharded_spmm(
     m, k = rsp.shape
     n = b.shape[1]
     blocks = rsp.pack_values(data) if packed is None else packed
+    # same executor dispatch as the single-chip _block_exec: resident
+    # B panel when it fits the VMEM budget (B is replicated here, so
+    # the panel is the full (k, bn) strip), ELL ring otherwise
+    from tpusparse.kernels.tiled_spmm import (
+        resident_spmm_pallas, resident_vmem_bytes)
+
+    _probe = rsp.local_plan(rsp.block_cols[0], rsp.nslots[0])
+    _bn = min(get_config().spmm_block_n, round_up(n, 128))
+    _resident = (
+        resident_vmem_bytes(_probe, n, b.dtype.itemsize, _bn)
+        <= get_config().vmem_limit_bytes
+    )
 
     def body(bc, ns, blk, b_full):
         plan = rsp.local_plan(bc[0], ns[0])
+        if _resident:
+            return resident_spmm_pallas(plan, blk[0], b_full)[None]
         return tiled_spmm_pallas(plan, blk[0], b_full)[None]
 
     out = shard_map(
@@ -294,6 +308,24 @@ def halo_spmm(
     blocks = hsp.pack_values(data)
     perm = [(d, (d - 1) % ndev) for d in range(ndev)]
 
+    # per-step executor: the ring's falloff at high ndev is B/C
+    # re-traffic per step (measured r3: per-step ELL widths are within
+    # one slot of the global width, so padding is NOT the cost — each
+    # step re-fetches B tiles per slot and re-writes C). When the local
+    # B strip fits the VMEM budget, the resident executor caches it
+    # once per step and per-slot work drops to SMEM+VMEM+MXU
+    # (bitwise-identical output). The choice is plan-static, so the
+    # SPMD program stays uniform across devices.
+    from tpusparse.kernels.tiled_spmm import (
+        resident_spmm_pallas, resident_vmem_bytes)
+
+    probe_plan = hsp.local_plan(hsp.block_cols[0, 0], hsp.nslots[0, 0])
+    _bn = min(get_config().spmm_block_n, round_up(n, 128))
+    use_resident = (
+        resident_vmem_bytes(probe_plan, n, b.dtype.itemsize, _bn)
+        <= get_config().vmem_limit_bytes
+    )
+
     def body(bc, ns, blk, b_strip):
         me = lax.axis_index(axis)
         bc, ns, blk, b_strip = bc[0], ns[0], blk[0], b_strip
@@ -305,6 +337,8 @@ def halo_spmm(
                 lax.dynamic_index_in_dim(ns, j, 0, keepdims=False),
             )
             vals = lax.dynamic_index_in_dim(blk, j, 0, keepdims=False)
+            if use_resident:
+                return acc + resident_spmm_pallas(plan, vals, b_cur)
             return acc + tiled_spmm_pallas(plan, vals, b_cur)
 
         def step(s, carry):
