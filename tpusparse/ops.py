@@ -645,13 +645,16 @@ def dia_spmm(a, b: jnp.ndarray) -> jnp.ndarray:
     starts = jnp.asarray(offs_p.reshape(-1, U).astype(np.int32))
     chunks = data.reshape(-1, U, data.shape[1])
 
-    # NOTE (r3, measured): at SpMV width the scan path runs ~4.4 ms for a
-    # 1715-diagonal 32k-row operator — ~4x its traffic bound, dominated by
-    # per-slice overhead. Two rewrites measured NO better: a lane-major
-    # (1, m) formulation was time-neutral, and a batched-shift gather
-    # (128 static lane-shifts + vmapped dynamic_slice + einsum reduce) was
-    # 2.5x WORSE (XLA semi-scalarizes the row gather). Closing the gap
-    # needs an in-VMEM-x Pallas DIA-SpMV kernel — future work.
+    if b.shape[1] == 1:
+        # SpMV: the Pallas roll kernel (kernels/dia.py) keeps x resident
+        # in VMEM — measured 1.5x over this scan at 1909 diagonals
+        # (2.8 vs 4.3 ms, bitwise-equal output). XLA alternatives
+        # measured worse: lane-major scan time-neutral, batched-shift
+        # gather 2.5x slower (semi-scalarized row gather).
+        from tpusparse.kernels.dia import dia_spmv
+
+        return dia_spmv(a.data, np.asarray(a.offsets), b[:, 0])[:, None]
+
     def step(carry, xs):
         st, dc = xs  # (U,), (U, k-span)
         for u in range(U):
