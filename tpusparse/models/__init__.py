@@ -9,6 +9,7 @@ from tpusparse.models.gcn import (
 )
 from tpusparse.models.gat import GAT, GATLayer, add_self_loops
 from tpusparse.models.appnp import APPNP, appnp_propagate
+from tpusparse.models.gpt import GPTBlock, GPTDecoder, generate
 
 __all__ = [
     "MnistNet",
@@ -26,4 +27,7 @@ __all__ = [
     "appnp_propagate",
     "GATLayer",
     "add_self_loops",
+    "GPTBlock",
+    "GPTDecoder",
+    "generate",
 ]
