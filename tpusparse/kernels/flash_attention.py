@@ -41,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpusparse.kernels import mxu
 from tpusparse.utils.config import (
-    eager_precision,
     get_config,
     interpret_mode,
     pallas_precision,
@@ -53,7 +52,7 @@ _NEG_INF = -1e30
 
 def _flash_kernel(
     offs_ref,  # (2,) int32 SMEM: (q_offset, kv_offset) global positions
-    q_ref,  # (1, bq, d) VMEM
+    q_ref,  # (1, bq, d) VMEM — PRE-SCALED by sm_scale (see flash_attention)
     k_ref,  # (1, bk, d) VMEM
     v_ref,  # (1, bk, d) VMEM
     o_ref,  # (1, bq, d) VMEM
@@ -64,11 +63,11 @@ def _flash_kernel(
     l_scr,  # (bq, 128) f32 running row denominator
     acc_scr,  # (bq, d) f32 running context accumulator
     *,
-    sm_scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
     kv_len: int,
+    pad_mask: bool,
     precision,
 ):
     qi = pl.program_id(1)
@@ -84,23 +83,32 @@ def _flash_kernel(
     def _block():
         q = q_ref[0]
         k = k_ref[0]
-        s = mxu.dot_nt(q, k, precision) * sm_scale  # (bq, bk)
+        # sm_scale is folded into q by the wrapper: scaling the (bq, d)
+        # q tile is 0 extra passes here vs a full (bq, bk) VPU pass on s
+        # every step (the r4 roofline audit showed the kernel VPU-bound)
+        s = mxu.dot_nt(q, k, precision)  # (bq, bk)
 
-        # mask out-of-range keys (seq padding) and the causal triangle;
+        # mask out-of-range keys (seq padding — statically skipped when
+        # the padded seq equals the true seq) and the causal triangle;
         # offsets give GLOBAL positions (ring/sharded callers pass the
         # shard bases; single-chip calls pass zeros)
-        key_pos = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1
-        )
-        mask = key_pos < kv_len
+        mask = None
+        if pad_mask:
+            key_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
+            mask = key_pos < kv_len
         if causal:
+            key_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 0
             )
-            mask = mask & (
-                offs_ref[1] + key_pos <= offs_ref[0] + q_pos
-            )
-        s = jnp.where(mask, s, _NEG_INF)
+            cmask = offs_ref[1] + key_pos <= offs_ref[0] + q_pos
+            mask = cmask if mask is None else (mask & cmask)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]  # (bq, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -111,8 +119,10 @@ def _flash_kernel(
         # cast-to-v-dtype single/six-pass behavior
         pv = p if precision == "bf16x3" else p.astype(v_ref.dtype)
         acc_scr[:] = acc_scr[:] * corr + mxu.dot(pv, v_ref[0], precision)
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        # running stats live in column 0 only (writing the full 128-lane
+        # broadcast costs 2·bq·128 stores per step for nothing)
+        m_scr[:, :1] = m_new
+        l_scr[:, :1] = l_new
 
     if causal:
         # whole K-tiles strictly above the (global) diagonal are all-masked
@@ -144,13 +154,6 @@ def _flash_kernel_lse(offs, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, a
     _flash_kernel(offs, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw)
 
 
-@eager_precision
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "causal", "sm_scale", "block_q", "block_k", "return_lse", "precision"
-    ),
-)
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -158,8 +161,8 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int | None = None,
+    block_k: int | None = None,
     return_lse: bool = False,
     q_offset=0,
     kv_offset=0,
@@ -175,11 +178,48 @@ def flash_attention(
     precision (None = the config default) picks the MXU tier for the QKᵀ
     and p·V products: 'default' single-pass bf16, 'high'/'bf16x3' manual
     3-pass split (fp32-class), 'highest' 6-pass.
+
+    block_q/block_k (None = auto) resolve EAGERLY — explicit args >
+    autotuned tile for this (seq, head_dim, heads, tier)
+    (`autotune_flash`, persisted beside the GEMM tiles) > 512. Like the
+    GEMM tiles, resolution happens outside the jit boundary so a new
+    autotune run takes effect on the next call.
     """
-    if q.shape != k.shape or k.shape != v.shape:
-        raise ValueError(f"q/k/v shapes differ: {q.shape} {k.shape} {v.shape}")
     if q.ndim < 2:
         raise ValueError(f"need (..., seq, head_dim), got {q.shape}")
+    precision = precision or get_config().precision
+    block_q, block_k = _resolve_flash_blocks(
+        q.shape, q.dtype, causal, precision, block_q, block_k
+    )
+    return _flash_attention_jit(
+        q, k, v, causal=causal, sm_scale=sm_scale, block_q=block_q,
+        block_k=block_k, return_lse=return_lse, q_offset=q_offset,
+        kv_offset=kv_offset, precision=precision,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "return_lse", "precision"
+    ),
+)
+def _flash_attention_jit(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool,
+    sm_scale: float | None,
+    block_q: int,
+    block_k: int,
+    return_lse: bool,
+    q_offset=0,
+    kv_offset=0,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    if q.shape != k.shape or k.shape != v.shape:
+        raise ValueError(f"q/k/v shapes differ: {q.shape} {k.shape} {v.shape}")
     *lead, s, d = q.shape
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
 
@@ -193,9 +233,17 @@ def flash_attention(
     bh = 1
     for x in lead:
         bh *= x
-    q3 = q.reshape(bh, s, d)
+    resolved = pallas_precision(precision)
+    # sm_scale folds into q here — one fused multiply over (seq, d)
+    # instead of a (bq, bk) VPU pass inside the kernel on every grid step
+    q3 = q.reshape(bh, s, d) * jnp.asarray(sm_scale, q.dtype)
     k3 = k.reshape(bh, s, d)
     v3 = v.reshape(bh, s, d)
+    if resolved == jax.lax.Precision.DEFAULT and q.dtype == jnp.float32:
+        # single-pass tier: the MXU reads bf16 operands regardless, so
+        # storing fp32 in VMEM/HBM only doubles the K/V streaming traffic
+        # (numerically identical — the cast happens either way)
+        q3, k3, v3 = (x.astype(jnp.bfloat16) for x in (q3, k3, v3))
     if (sp, dp) != (s, d):
         pad = ((0, 0), (0, sp - s), (0, dp - d))
         q3, k3, v3 = (jnp.pad(x, pad) for x in (q3, k3, v3))
@@ -235,12 +283,12 @@ def flash_attention(
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel_lse if return_lse else _flash_kernel_no_lse,
-            sm_scale=sm_scale,
             causal=causal,
             block_q=bq,
             block_k=bk,
             kv_len=s,
-            precision=pallas_precision(precision),
+            pad_mask=sp != s,
+            precision=resolved,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -258,6 +306,125 @@ def flash_attention(
             lse[:, :s, 0].reshape(*lead, s),
         )
     return out[:, :s, :d].reshape(*lead, s, d)
+
+
+# -----------------------------------------------------------------------------
+# Flash block autotuner — the GEMM autotuner (kernels/gemm.py:214) applied
+# to the attention kernel's block_q/block_k, persisted per
+# (bh, seq, head_dim, dtype, causal, tier) beside the GEMM tiles in
+# ~/.tpusparse/calibration.json. Resolution is EAGER (outside jit), so a
+# fresh autotune run takes effect on the next call even in a live process.
+# -----------------------------------------------------------------------------
+
+_FLASH_TILE_CACHE: dict = {}
+_FLASH_TILE_LOADED = False
+
+
+def _flash_tile_key(bh, s, d, dtype_name, causal, tier) -> str:
+    return f"{bh}x{s}x{d}x{dtype_name}x{'c' if causal else 'f'}x{tier}"
+
+
+def _resolve_flash_blocks(shape, dtype, causal, precision, block_q, block_k):
+    """Explicit args > persisted autotuned tile > (512, 512)."""
+    if block_q is not None and block_k is not None:
+        return int(block_q), int(block_k)
+    global _FLASH_TILE_LOADED
+    if not _FLASH_TILE_LOADED:
+        from tpusparse.utils.calibrate import load_tile_section
+
+        _FLASH_TILE_CACHE.update(load_tile_section("flash_tiles"))
+        _FLASH_TILE_LOADED = True
+    *lead, s, d = shape
+    bh = 1
+    for x in lead:
+        bh *= x
+    hit = _FLASH_TILE_CACHE.get(
+        _flash_tile_key(bh, s, d, jnp.dtype(dtype).name, causal, precision)
+    )
+    tq, tk = (int(hit[0]), int(hit[1])) if hit else (512, 512)
+    return int(block_q or tq), int(block_k or tk)
+
+
+def _flash_tile_candidates(s: int):
+    cands = [
+        (512, 512), (256, 512), (512, 1024), (1024, 512), (1024, 1024),
+        (256, 1024), (512, 2048), (2048, 512), (1024, 2048),
+    ]
+    sp = round_up(s, 128)
+    out = []
+    for bq, bk in cands:
+        t = (min(bq, sp), min(bk, sp))
+        if t not in out:
+            out.append(t)
+    return out
+
+
+def autotune_flash(
+    seq: int,
+    head_dim: int,
+    bh: int,
+    *,
+    causal: bool = False,
+    dtype=jnp.float32,
+    precision: str | None = None,
+    repeats: int = 2,
+    save: bool = True,
+    verbose: bool = True,
+):
+    """Sweep block_q/block_k for this attention shape on the local chip
+    and persist the winner; subsequent flash_attention calls at the shape
+    pick it up automatically. Returns ((bq, bk), seconds_per_call)."""
+    import numpy as np
+
+    from tpusparse.utils.timing import device_time_per_iter
+
+    if jax.default_backend() == "cpu":
+        raise RuntimeError("autotune_flash must run on the real TPU backend")
+    precision = precision or get_config().precision
+    mk = lambda seed: jnp.asarray(
+        np.random.default_rng(seed).standard_normal(
+            (bh, seq, head_dim)
+        ).astype(np.float32)
+    ).astype(dtype)
+    q, k, v = mk(0), mk(1), mk(2)
+
+    best, best_t = None, float("inf")
+    for bq, bk in _flash_tile_candidates(seq):
+        def step(x, bq=bq, bk=bk):
+            y = flash_attention(
+                x, k, v, causal=causal, block_q=bq, block_k=bk,
+                precision=precision,
+            )
+            return y / (1.0 + jnp.abs(y).max())
+
+        try:
+            ts = [
+                device_time_per_iter(step, q, iters_lo=2, iters_hi=6)
+                for _ in range(repeats)
+            ]
+        except Exception as e:  # Mosaic reject / VMEM overflow: skip tile
+            if verbose:
+                print(f"[autotune-flash] ({bq},{bk}): failed "
+                      f"({str(e)[:80]})", flush=True)
+            continue
+        t = float(np.median(ts))
+        if verbose:
+            print(f"[autotune-flash] ({bq},{bk}): {t*1e3:.2f} ms", flush=True)
+        if t < best_t:
+            best, best_t = (bq, bk), t
+    if best is None:
+        raise RuntimeError("autotune_flash: every candidate failed")
+    key = _flash_tile_key(
+        bh, seq, head_dim, jnp.dtype(dtype).name, causal, precision
+    )
+    _FLASH_TILE_CACHE[key] = list(best)
+    if save:
+        from tpusparse.utils.calibrate import save_tile_entry
+
+        save_tile_entry("flash_tiles", key, best)
+    if verbose:
+        print(f"[autotune-flash] best {best} = {best_t*1e3:.2f} ms", flush=True)
+    return best, best_t
 
 
 def _reference_attention(q, k, v, causal, sm_scale):
@@ -278,20 +445,28 @@ def _reference_attention(q, k, v, causal, sm_scale):
 
 
 def _score_tile(
-    q, k, lse, qi, ki, bq, bk, kv_len, sm_scale, causal, offs, precision
+    q, k, lse, qi, ki, bq, bk, kv_len, pad_mask, causal, offs, precision
 ):
     """Recomputed probability tile P = exp(S - lse) with padding/causal
     masking folded in (masked entries give exp(-inf - lse) = 0, so padded
-    q rows and k columns contribute nothing to the grad sums).
+    q rows and k columns contribute nothing to the grad sums). `q` is the
+    sm_scale-PRE-SCALED tile (matching the forward), so no scale multiply
+    happens here. pad_mask is statically False when seq is tile-aligned.
     lse: (bq, 1). `precision` MUST match the forward's resolved tier so
     exp(s - lse) reproduces the forward probabilities."""
-    s = mxu.dot_nt(q, k, precision) * sm_scale
-    q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    key_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    mask = (key_pos < kv_len) & (q_pos < kv_len)
+    s = mxu.dot_nt(q, k, precision)
+    mask = None
+    if pad_mask:
+        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        key_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (key_pos < kv_len) & (q_pos < kv_len)
     if causal:
-        mask = mask & (offs[1] + key_pos <= offs[0] + q_pos)
-    s = jnp.where(mask, s, _NEG_INF)
+        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        key_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        cmask = offs[1] + key_pos <= offs[0] + q_pos
+        mask = cmask if mask is None else (mask & cmask)
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
     return jnp.exp(s - lse)
 
 
@@ -301,7 +476,7 @@ def _flash_dq_kernel(
     dq_ref,
     acc_scr,  # (bq, d) f32
     *,
-    sm_scale, causal, block_q, block_k, kv_len, precision,
+    sm_scale, causal, block_q, block_k, kv_len, pad_mask, precision,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -314,10 +489,12 @@ def _flash_dq_kernel(
     def _block():
         p = _score_tile(
             q_ref[0], k_ref[0], lse_ref[0, :, :1], qi, ki,
-            block_q, block_k, kv_len, sm_scale, causal, offs_ref, precision,
+            block_q, block_k, kv_len, pad_mask, causal, offs_ref, precision,
         )
         dp = mxu.dot_nt(do_ref[0], v_ref[0], precision)
-        ds = p * (dp - delta_ref[0, :, :1]) * sm_scale
+        # the sm_scale factor of dS moves to the epilogue: one (bq, d)
+        # multiply instead of a (bq, bk) VPU pass per step
+        ds = p * (dp - delta_ref[0, :, :1])
         dsk = ds if precision == "bf16x3" else ds.astype(k_ref.dtype)
         acc_scr[:] += mxu.dot(dsk, k_ref[0], precision)
 
@@ -333,7 +510,7 @@ def _flash_dq_kernel(
 
     @pl.when(ki == nk - 1)
     def _():
-        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+        dq_ref[0] = (acc_scr[:] * sm_scale).astype(dq_ref.dtype)
 
 
 def _flash_dkv_kernel(
@@ -342,7 +519,7 @@ def _flash_dkv_kernel(
     dk_ref, dv_ref,
     dk_scr, dv_scr,  # (bk, d) f32
     *,
-    sm_scale, causal, block_q, block_k, kv_len, precision,
+    causal, block_q, block_k, kv_len, pad_mask, precision,
 ):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -356,12 +533,14 @@ def _flash_dkv_kernel(
     def _block():
         p = _score_tile(
             q_ref[0], k_ref[0], lse_ref[0, :, :1], qi, ki,
-            block_q, block_k, kv_len, sm_scale, causal, offs_ref, precision,
+            block_q, block_k, kv_len, pad_mask, causal, offs_ref, precision,
         )
         pt = p if precision == "bf16x3" else p.astype(do_ref.dtype)
         dv_scr[:] += mxu.dot_tn(pt, do_ref[0], precision)
         dp = mxu.dot_nt(do_ref[0], v_ref[0], precision)
-        ds = p * (dp - delta_ref[0, :, :1]) * sm_scale
+        # dK = sm_scale · dSᵀ·Q = dS_rawᵀ · (sm_scale·Q): the pre-scaled
+        # q tile already carries the factor, so ds stays raw
+        ds = p * (dp - delta_ref[0, :, :1])
         if precision != "bf16x3":
             ds = ds.astype(q_ref.dtype)
         dk_scr[:] += mxu.dot_tn(ds, q_ref[0], precision)
@@ -383,18 +562,13 @@ def _flash_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-@eager_precision
-@functools.partial(
-    jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_k", "precision"),
-)
 def flash_attention_bwd(
     q, k, v, o, lse, do,
     *,
     causal: bool = False,
     sm_scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int | None = None,
+    block_k: int | None = None,
     q_offset=0,
     kv_offset=0,
     precision: str | None = None,
@@ -402,7 +576,34 @@ def flash_attention_bwd(
     """(dq, dk, dv) from the saved per-row logsumexp — O(seq) memory.
 
     `precision` must match the forward's tier (the score recompute must
-    reproduce the saved lse's numerics)."""
+    reproduce the saved lse's numerics). block_q/block_k resolve eagerly
+    with the same autotune key as the forward."""
+    precision = precision or get_config().precision
+    block_q, block_k = _resolve_flash_blocks(
+        q.shape, q.dtype, causal, precision, block_q, block_k
+    )
+    return _flash_attention_bwd_jit(
+        q, k, v, o, lse, do, causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, q_offset=q_offset,
+        kv_offset=kv_offset, precision=precision,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "precision"),
+)
+def _flash_attention_bwd_jit(
+    q, k, v, o, lse, do,
+    *,
+    causal: bool,
+    sm_scale: float | None,
+    block_q: int,
+    block_k: int,
+    q_offset=0,
+    kv_offset=0,
+    precision: str | None = None,
+):
     *lead, s, d = q.shape
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     bq = min(block_q, round_up(s, 128))
@@ -412,11 +613,17 @@ def flash_attention_bwd(
     bh = 1
     for x in lead:
         bh *= x
+    resolved = pallas_precision(precision)
+    store_bf16 = (
+        resolved == jax.lax.Precision.DEFAULT and q.dtype == jnp.float32
+    )
 
     delta = jnp.einsum("...sd,...sd->...s", do, o).astype(jnp.float32)
 
     def pad3(x):
         x = x.reshape(bh, s, d)
+        if store_bf16:
+            x = x.astype(jnp.bfloat16)  # see _flash_attention_jit note
         if (sp, dp_) != (s, d):
             x = jnp.pad(x, ((0, 0), (0, sp - s), (0, dp_ - d)))
         return x
@@ -428,12 +635,15 @@ def flash_attention_bwd(
             x = jnp.pad(x, ((0, 0), (0, sp - s)))
         return jnp.broadcast_to(x[:, :, None], (bh, sp, 128))
 
-    q3, k3, v3, do3 = pad3(q), pad3(k), pad3(v), pad3(do)
+    # q pre-scaled exactly as the forward (the score recompute must
+    # reproduce the saved lse's numerics bit-for-bit)
+    q3 = pad3(q.reshape(bh, s, d) * jnp.asarray(sm_scale, q.dtype))
+    k3, v3, do3 = pad3(k), pad3(v), pad3(do)
     lse2, delta2 = pad2(lse), pad2(delta)
 
     kw = dict(
-        sm_scale=sm_scale, causal=causal, block_q=bq, block_k=bk, kv_len=s,
-        precision=pallas_precision(precision),
+        causal=causal, block_q=bq, block_k=bk, kv_len=s,
+        pad_mask=sp != s, precision=resolved,
     )
     common = dict(
         compiler_params=pltpu.CompilerParams(
@@ -450,7 +660,7 @@ def flash_attention_bwd(
     )
 
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, **kw),
+        functools.partial(_flash_dq_kernel, sm_scale=sm_scale, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, sp // bq, sp // bk),

@@ -82,19 +82,21 @@ def _device_matches(payload: dict) -> bool:
     return kind is None or kind == jax.devices()[0].device_kind
 
 
-def load_gemm_tiles(path: Optional[str] = None) -> Dict[str, list]:
-    """Persisted autotuned GEMM tiles {'mxkxnxdtype': [bm, bn, bk]} —
-    empty if absent or fitted on a different backend/device kind."""
+def load_tile_section(section: str, path: Optional[str] = None) -> Dict[str, list]:
+    """Persisted autotuned tiles {key: [ints]} from a named section
+    ('gemm_tiles', 'flash_tiles', ...) — empty if absent or fitted on a
+    different backend/device kind."""
     payload = _read_raw(path)
     if not payload or not _device_matches(payload):
         return {}
-    tiles = payload.get("gemm_tiles", {})
+    tiles = payload.get(section, {})
     return {k: list(map(int, v)) for k, v in tiles.items()} if isinstance(tiles, dict) else {}
 
 
-def save_gemm_tile(key: str, tile, path: Optional[str] = None) -> str:
-    """Record one autotuned tile under 'gemm_tiles' (creates the file
-    with the current backend stamp if needed; preserves constants)."""
+def save_tile_entry(section: str, key: str, tile, path: Optional[str] = None) -> str:
+    """Record one autotuned tile under `section` (creates the file with
+    the current backend stamp if needed; preserves constants and the
+    other sections)."""
     import jax
 
     path = path or calibration_path()
@@ -104,10 +106,20 @@ def save_gemm_tile(key: str, tile, path: Optional[str] = None) -> str:
         payload = {}  # stale fit from another device — start fresh
     payload.setdefault("backend", jax.default_backend())
     payload.setdefault("device_kind", jax.devices()[0].device_kind)
-    payload.setdefault("gemm_tiles", {})[key] = [int(x) for x in tile]
+    payload.setdefault(section, {})[key] = [int(x) for x in tile]
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
     return path
+
+
+def load_gemm_tiles(path: Optional[str] = None) -> Dict[str, list]:
+    """Persisted autotuned GEMM tiles {'mxkxnxdtype': [bm, bn, bk]}."""
+    return load_tile_section("gemm_tiles", path)
+
+
+def save_gemm_tile(key: str, tile, path: Optional[str] = None) -> str:
+    """Record one autotuned tile under 'gemm_tiles'."""
+    return save_tile_entry("gemm_tiles", key, tile, path)
 
 
 def load_calibration(path: Optional[str] = None) -> Optional[Dict[str, float]]:
