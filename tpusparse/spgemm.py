@@ -68,6 +68,16 @@ class SpGEMMPlan:
     c_indptr: np.ndarray  # (m+1,) int32 host — C's CSR row offsets
     a_shape: Shape2
     b_shape: Shape2
+    # windowed index plans (kernels/windowed.py), built at schedule time
+    # when the modeled vector-sweep cost beats the XLA index floor (the
+    # AMG adoption rule, amg.py:673-697). The schedule is sorted by c_pos
+    # BY CONSTRUCTION, so the c accumulation and the dC gather in the vjp
+    # are maximally local; a_pos walks A's rows nearly in order. None =
+    # that component rides the stock XLA op.
+    ws_c: object = None   # WindowedSegmentPlan for the c_pos accumulation
+    wg_a: object = None   # WindowedGatherPlan for a_data[a_pos]
+    wg_b: object = None   # WindowedGatherPlan for b_data[b_pos]
+    wg_c: object = None   # WindowedGatherPlan for g[c_pos] (vjp)
 
     @property
     def nmul(self) -> int:
@@ -87,12 +97,16 @@ class SpGEMMPlan:
             self.c_indptr,
             self.a_shape,
             self.b_shape,
+            self.ws_c,
+            self.wg_a,
+            self.wg_b,
+            self.wg_c,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         a_pos, b_pos, c_pos = children
-        return cls(a_pos, b_pos, c_pos, aux[0], aux[1], aux[2], aux[3])
+        return cls(a_pos, b_pos, c_pos, *aux)
 
     def report(self) -> dict:
         """Schedule stats (the Plan.report / PRINT-mode analog): work per
@@ -112,6 +126,42 @@ class SpGEMMPlan:
 
 
 _PLAN_CACHE: dict = {}
+
+
+def _windowed_schedule_plans(a_pos, b_pos, c_pos, a_nnz, b_nnz, c_nnz):
+    """Windowed plans for the schedule's index ops, each adopted only when
+    its modeled sweep cost decisively beats the XLA index floor AND the
+    resident arrays fit the VMEM budget (whole-table/whole-y residency is
+    how the kernels get random access — kernels/windowed.py)."""
+    from tpusparse.kernels.windowed import (
+        modeled_cost_s, windowed_gather_plan, windowed_segment_plan,
+        xla_index_cost_s)
+    from tpusparse.utils.config import get_config
+
+    budget = get_config().vmem_limit_bytes // 2
+    nmul = int(np.asarray(a_pos).shape[0])
+
+    def gather(idx, table_len):
+        p = windowed_gather_plan(np.asarray(idx), table_len)
+        fits = (table_len + p.window + 256) * 4 + 8 * p.window * 4 <= budget
+        if fits and modeled_cost_s(p) <= 0.67 * xla_index_cost_s(nmul):
+            return p
+        return None
+
+    def segment(seg, num_segments):
+        p = windowed_segment_plan(np.asarray(seg), num_segments)
+        n_in = int(np.asarray(seg).shape[0])
+        fits = 2 * (n_in + p.window + 256) * 4 + 16 * p.window * 4 <= budget
+        if fits and modeled_cost_s(p) <= 0.67 * xla_index_cost_s(n_in):
+            return p
+        return None
+
+    return (
+        segment(c_pos, c_nnz),
+        gather(a_pos, a_nnz),
+        gather(b_pos, b_nnz),
+        gather(c_pos, c_nnz),
+    )
 
 
 def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
@@ -160,6 +210,11 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
                 f"(shapes {a.shape} @ {b.shape})"
             )
         c_indptr, c_indices, a_pos, b_pos, c_pos = res
+        ws_c, wg_a, wg_b, wg_c = _windowed_schedule_plans(
+            a_pos, b_pos, c_pos,
+            int(a_indices.shape[0]), int(b_indices.shape[0]),
+            int(c_indices.shape[0]),
+        )
         plan = SpGEMMPlan(
             a_pos=jnp.asarray(a_pos),
             b_pos=jnp.asarray(b_pos),
@@ -168,6 +223,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
             c_indptr=c_indptr,
             a_shape=a.shape,
             b_shape=b.shape,
+            ws_c=ws_c, wg_a=wg_a, wg_b=wg_b, wg_c=wg_c,
         )
         _PLAN_CACHE[key] = plan
         return plan
@@ -198,6 +254,9 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
     c_rows = (uniq // n).astype(np.int64)
     c_indptr = np.zeros(m + 1, dtype=_INT)
     c_indptr[1:] = np.cumsum(np.bincount(c_rows, minlength=m)).astype(_INT)
+    ws_c, wg_a, wg_b, wg_c = _windowed_schedule_plans(
+        a_pos, b_pos, c_pos, a_nnz, int(b_indices.shape[0]), c_nnz
+    )
     plan = SpGEMMPlan(
         a_pos=jnp.asarray(a_pos.astype(_INT)),
         b_pos=jnp.asarray(b_pos.astype(_INT)),
@@ -206,6 +265,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
         c_indptr=c_indptr,
         a_shape=a.shape,
         b_shape=b.shape,
+        ws_c=ws_c, wg_a=wg_a, wg_b=wg_b, wg_c=wg_c,
     )
     _PLAN_CACHE[key] = plan
     return plan
@@ -213,7 +273,24 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
 
 @jax.custom_vjp
 def _spgemm_data(plan: SpGEMMPlan, a_data, b_data):
-    prods = a_data[plan.a_pos] * b_data[plan.b_pos]
+    # each index op independently rides its windowed vector-sweep kernel
+    # when the plan adopted one (schedule sorted by c_pos -> the segment
+    # sum and the vjp's dC gather are the canonical windowed clients)
+    from tpusparse.kernels.windowed import windowed_gather, windowed_segment_sum
+
+    av = (
+        windowed_gather(a_data, plan.wg_a)
+        if plan.wg_a is not None
+        else a_data[plan.a_pos]
+    )
+    bv = (
+        windowed_gather(b_data, plan.wg_b)
+        if plan.wg_b is not None
+        else b_data[plan.b_pos]
+    )
+    prods = av * bv
+    if plan.ws_c is not None:
+        return windowed_segment_sum(prods, plan.ws_c)
     return jax.ops.segment_sum(
         prods,
         plan.c_pos,
@@ -227,20 +304,36 @@ def _spgemm_fwd(plan, a_data, b_data):
 
 
 def _spgemm_bwd(res, g):
+    from tpusparse.kernels.windowed import windowed_gather
+
     plan, a_data, b_data = res
-    gm = g[plan.c_pos]
+    gm = (
+        windowed_gather(g, plan.wg_c)
+        if plan.wg_c is not None
+        else g[plan.c_pos]
+    )
+    av = (
+        windowed_gather(a_data, plan.wg_a)
+        if plan.wg_a is not None
+        else a_data[plan.a_pos]
+    )
+    bv = (
+        windowed_gather(b_data, plan.wg_b)
+        if plan.wg_b is not None
+        else b_data[plan.b_pos]
+    )
     # scatter-adds: a_pos/b_pos are unsorted after the c_pos sort, so no
     # sortedness promise (a false one silently misplaces updates on TPU —
     # see types.CSR.to_dense note)
     da = (
         jnp.zeros_like(a_data)
         .at[plan.a_pos]
-        .add((gm * b_data[plan.b_pos]).astype(a_data.dtype))
+        .add((gm * bv).astype(a_data.dtype))
     )
     db = (
         jnp.zeros_like(b_data)
         .at[plan.b_pos]
-        .add((gm * a_data[plan.a_pos]).astype(b_data.dtype))
+        .add((gm * av).astype(b_data.dtype))
     )
     from tpusparse.ops import _zeros_tangent
 
