@@ -10,6 +10,7 @@ from tpusparse.models.gcn import (
 from tpusparse.models.gat import GAT, GATLayer, add_self_loops
 from tpusparse.models.appnp import APPNP, appnp_propagate
 from tpusparse.models.gpt import GPTBlock, GPTDecoder, generate
+from tpusparse.models.serving import QuantizedGPT, quantize_gpt
 
 __all__ = [
     "MnistNet",
@@ -30,4 +31,6 @@ __all__ = [
     "GPTBlock",
     "GPTDecoder",
     "generate",
+    "QuantizedGPT",
+    "quantize_gpt",
 ]
