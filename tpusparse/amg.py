@@ -682,7 +682,14 @@ def smoothed_aggregation_setup(
             gplan = windowed_gather_plan(agg, n_agg)
             if modeled_cost_s(gplan) > 0.67 * xla_index_cost_s(n):
                 gplan = None  # not decisively faster than the XLA op
-            splan = windowed_segment_plan(agg, n_agg)
+            # cap 16384: 3-D aggregation maps need ~9.5k y-windows (the
+            # members of 128 consecutive aggregates span ~2 fine planes);
+            # the default 4096 cap pushed 28% of entries onto the
+            # exception path and the plan self-declined (r3). Scratch at
+            # W=9472 is ~600 KB — far under the VMEM budget. Renumbering
+            # aggregates by min-fine-index was tested and is a no-op
+            # (pass-1 root order already yields it).
+            splan = windowed_segment_plan(agg, n_agg, cap=16384)
             if modeled_cost_s(splan) > 0.67 * xla_index_cost_s(n):
                 splan = None
             lvl.p_fact = _FactoredP(

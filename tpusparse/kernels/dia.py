@@ -11,21 +11,34 @@ badly once the diagonal count is large and the RHS is a single vector
   * batched-shift gather (static lane-shift table + vmapped
     dynamic_slice): 11.2 ms — XLA semi-scalarizes the row gather.
 
-Here the padded x lives ONCE in VMEM (m + span fp32 — a few hundred KB)
-and each (m-tile, diagonal) cell takes a 128-ALIGNED dynamic lane slice
-of it plus a sub-128 `pltpu.roll`; the only large stream is the diagonal
-data itself, so the kernel runs at the data-traffic bound.
+r4 redesign (the "sublane-packed shifts" lever the r3 kernel recorded as
+future work): the r3 kernel carried everything lane-major — x windows as
+(1, 16384), the per-diagonal roll and FMA as (1, mt) sweeps — which puts
+ONE sublane of eight to work per vreg, and measured 2.7x above the data
+traffic bound. Here x lives in VMEM as 2-D 128-lane chunks
+(xp2[c, l] = xp[128c + l]); a diagonal shift s = 128q + r becomes
+
+  * two dynamic SUBLANE slices of xp2 at rows q and q+1 (sublane-dim
+    dynamic starts are legal; the LANE dim needs 128-aligned starts,
+    which is the whole reason the r3 kernel rolled),
+  * two 128-lane `pltpu.roll`s by the sub-128 remainder r plus one
+    lane-iota select to stitch the chunk boundary,
+
+and the FMA accumulates over (mt/128, 128) blocks — full 8/8 sublane
+occupancy on every VPU op.
 
 Mosaic caveat (measured on v5e): dynamic-shift `pltpu.roll` SILENTLY
-CORRUPTS results unless the rolled vector's lane width is a POWER OF
-TWO (a constant phantom offset appears at 129- and 388-tile widths;
-512..32768 lanes = 4..256 tiles are exact). Hence the m-tiling and the
-pow2 window: rolls act on (1, WIN) windows with WIN = 2^k >= mt + 128.
+CORRUPTS results unless the rolled lane width is a POWER OF TWO (a
+constant phantom offset at 129/388-tile widths; pow2 widths including
+the 1-tile 128-lane rolls used here are parity-checked exact on the
+real chip at the real operator widths — tests/test_dia.py + the r4
+on-chip parity drive recorded in benchmarks/RESULTS.md).
 """
 
 from __future__ import annotations
 
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -38,83 +51,122 @@ from tpusparse.utils.config import get_config, interpret_mode, round_up
 __all__ = ["dia_spmv_pallas"]
 
 _DU = 8       # diagonals per grid cell
-_MT = 16256   # output tile; mt + 128 = 16384 = pow2 roll window
+_MT = 16384   # output tile (mt/128 = 128 chunk rows per seg)
 
 
 def _dia_spmv_kernel(starts_ref, data_ref, xp_ref, o_ref, acc_scr,
-                     win_scr, al_scr, *, nd: int, mt: int, win: int):
+                     *, nd: int, mt: int):
     t = pl.program_id(0)
     g = pl.program_id(1)
     ng = pl.num_programs(1)
+    rows = mt // 128
 
     @pl.when(g == 0)
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
-        al_scr[0] = -1  # force a window load for the first diagonal
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
 
     for u in range(_DU):
         idx = g * _DU + u
 
         @pl.when(idx < nd)
         def _(u=u, idx=idx):
-            # out positions [t·mt, t·mt+mt) read xp[st + t·mt + i].
-            # Diagonals arrive SORTED by start, so consecutive ones
-            # usually share the 128-aligned window — cache it in
-            # scratch and reload only when the aligned base moves
-            # (~50 diagonals per reload on AMG coarse operators).
+            # out positions [t·mt, t·mt+mt) read xp[w0 + i] with
+            # w0 = 128·q + r: chunk rows q..q+rows ride two dynamic
+            # sublane slices, the sub-128 remainder two 1-tile rolls +
+            # a lane select (see module docstring)
             w0 = starts_ref[idx] + t * mt
-            al = pl.multiple_of((w0 // 128) * 128, 128)
-
-            @pl.when(al != al_scr[0])
-            def _():
-                win_scr[:] = xp_ref[0:1, pl.ds(al, win)]
-                al_scr[0] = al
-
-            seg = pltpu.roll(win_scr[:], -(w0 - al), 1)[:, :mt]
-            acc_scr[0:1, :] = acc_scr[0:1, :] + data_ref[u:u + 1, :] * seg
+            q = w0 // 128
+            r = w0 - q * 128
+            wa = xp_ref[pl.ds(q, rows), :]
+            wb = xp_ref[pl.ds(q + 1, rows), :]
+            ra = pltpu.roll(wa, -r, 1)
+            rb = pltpu.roll(wb, -r, 1)
+            seg = jnp.where(lane < 128 - r, ra, rb)
+            acc_scr[:] = acc_scr[:] + data_ref[u] * seg
 
     @pl.when(g == ng - 1)
     def _():
-        o_ref[:] = acc_scr[0:1, :].astype(o_ref.dtype)
+        o_ref[:] = acc_scr[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("mq", "nd", "span_lo", "wp"))
-def _dia_spmv_jit(data, starts, x, *, mq, nd, span_lo, wp):
-    xp = jnp.zeros((1, wp), x.dtype).at[0, span_lo:span_lo + x.shape[0]].set(x)
-    ng = -(-nd // _DU)
-    dpad = ng * _DU - nd
-    if dpad:
-        data = jnp.pad(data, ((0, dpad), (0, 0)))
-    mt = min(_MT, mq)
+@functools.partial(jax.jit, static_argnames=("mq", "mt", "nd", "span_lo", "wp"))
+def _dia_spmv_jit(data3, starts, x, *, mq, mt, nd, span_lo, wp):
+    xp2 = (
+        jnp.zeros((wp,), x.dtype)
+        .at[span_lo:span_lo + x.shape[0]]
+        .set(x)
+        .reshape(wp // 128, 128)
+    )
     nmt = mq // mt
-    win = 1
-    while win < mt + 128:
-        win <<= 1
+    rows = mt // 128
+    ng = data3.shape[0] // _DU
     out = pl.pallas_call(
-        functools.partial(_dia_spmv_kernel, nd=nd, mt=mt, win=win),
+        functools.partial(_dia_spmv_kernel, nd=nd, mt=mt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nmt, ng),
             in_specs=[
-                pl.BlockSpec((_DU, mt), lambda t, g, starts: (g, t)),
-                pl.BlockSpec((1, wp), lambda t, g, starts: (0, 0)),
+                pl.BlockSpec((_DU, rows, 128), lambda t, g, starts: (g, t, 0)),
+                # whole padded x resident as 2-D chunks (random sublane
+                # access; direct HBM-ref loads do not lower)
+                pl.BlockSpec((wp // 128, 128), lambda t, g, starts: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, mt), lambda t, g, starts: (0, t)),
+            out_specs=pl.BlockSpec((rows, 128), lambda t, g, starts: (t, 0)),
             scratch_shapes=[
-                pltpu.VMEM((8, mt), jnp.float32),
-                pltpu.VMEM((1, win), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
+                pltpu.VMEM((rows, 128), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((1, mq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mq // 128, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             # g-cells share the accumulator scratch per m-tile
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=get_config().vmem_limit_bytes,
         ),
         interpret=interpret_mode(),
-    )(starts, data, xp)
-    return out[0]
+    )(starts, data3, xp2)
+    return out.reshape(-1)
+
+
+def _pack_dia(data, offsets: np.ndarray, k: int):
+    """Sort/pad/chunk the diagonal data into the kernel's layout.
+
+    Returns (data3 (ndp, mq/128, 128), starts (nd,) i32 jnp, meta dict).
+    The pad+reshape is a full copy of the (often hundreds-of-MB) data
+    array — measured 1.3 ms of a 2.0 ms call when it ran inside the
+    per-matvec jit — so `dia_spmv_pallas` runs it ONCE per concrete data
+    array via a weak cache (jax arrays are immutable, so identity-keyed
+    caching of a pure function of the array is sound; tracers skip it).
+    """
+    nd, m = data.shape
+    order = np.argsort(offsets)
+    if not np.array_equal(order, np.arange(nd)):
+        offsets = offsets[order]
+        data = jnp.asarray(data)[np.asarray(order)]
+    lo = int(max(0, -offsets.min(initial=0)))
+    hi = int(max(0, offsets.max(initial=0) + m - k))
+    # m-tile: multiple of 1024 so seg blocks are (8k, 128) sublane-legal,
+    # capped at _MT (128 chunk rows per tile)
+    mt = min(_MT, round_up(m, 1024))
+    mq = round_up(m, mt)  # whole m-tiles
+    ng = -(-nd // _DU)
+    dpad = ng * _DU - nd
+    data = jnp.asarray(data)
+    if mq != m or dpad:
+        data = jnp.pad(data, ((0, dpad), (0, mq - m)))
+    # data chunked to the seg layout: data3[d, c, l] = data[d, 128c + l]
+    data3 = data.reshape(data.shape[0], mq // 128, 128)
+    # xp[lo + j] = x[j]; the deepest in-kernel chunk read is row
+    # (w0_max // 128) + 1 + mt/128, w0_max = lo + off_max + mq - mt
+    wp = round_up(lo + int(offsets.max(initial=0)) + mq + 256, 128)
+    wp = max(wp, round_up(lo + k + hi + 256, 128))
+    starts = jnp.asarray((offsets + lo).astype(np.int32))
+    meta = dict(mq=mq, mt=mt, nd=nd, span_lo=lo, wp=wp)
+    return data3, starts, meta
+
+
+_PACK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def dia_spmv_pallas(data: jnp.ndarray, offsets, x: jnp.ndarray) -> jnp.ndarray:
@@ -128,25 +180,25 @@ def dia_spmv_pallas(data: jnp.ndarray, offsets, x: jnp.ndarray) -> jnp.ndarray:
         raise ValueError(f"offsets {offsets.shape} != data rows {nd}")
     if x.ndim != 1:
         raise ValueError(f"dia_spmv_pallas takes a 1-D x, got {x.shape}")
-    order = np.argsort(offsets)
-    if not np.array_equal(order, np.arange(nd)):
-        offsets = offsets[order]
-        data = data[np.asarray(order)]
-    lo = int(max(0, -offsets.min(initial=0)))
-    hi = int(max(0, offsets.max(initial=0) + m - x.shape[0]))
-    mq = round_up(m, 128)
-    mq = round_up(mq, min(_MT, mq))  # whole m-tiles
-    if mq != m:
-        data = jnp.pad(data, ((0, 0), (0, mq - m)))
-    # xp[lo + j] = x[j]; the widest in-kernel window read ends at
-    # al_max + WIN <= st_max + (nmt-1)*mt + 2^ceil(log2(mt+128))
-    win_ub = 1
-    while win_ub < min(_MT, mq) + 128:
-        win_ub <<= 1
-    wp = round_up(lo + int(offsets.max(initial=0)) + mq + win_ub + 128, 128)
-    wp = max(wp, round_up(lo + x.shape[0] + hi + win_ub, 128))
-    starts = jnp.asarray((offsets + lo).astype(np.int32))
-    out = _dia_spmv_jit(data, starts, x, mq=mq, nd=nd, span_lo=lo, wp=wp)
+    k = int(x.shape[0])
+    concrete = isinstance(data, jax.Array) and not isinstance(
+        data, jax.core.Tracer
+    )
+    if concrete:
+        try:
+            sub = _PACK_CACHE.setdefault(data, {})
+        except TypeError:  # not weak-referenceable
+            sub = None
+        key = (offsets.tobytes(), k)
+        packed = sub.get(key) if sub is not None else None
+        if packed is None:
+            packed = _pack_dia(data, offsets, k)
+            if sub is not None:
+                sub[key] = packed
+    else:
+        packed = _pack_dia(jnp.asarray(data), offsets, k)
+    data3, starts, meta = packed
+    out = _dia_spmv_jit(data3, starts, x, **meta)
     return out[:m]
 
 
