@@ -78,6 +78,11 @@ class SpGEMMPlan:
     wg_a: object = None   # WindowedGatherPlan for a_data[a_pos]
     wg_b: object = None   # WindowedGatherPlan for b_data[b_pos]
     wg_c: object = None   # WindowedGatherPlan for g[c_pos] (vjp)
+    # big-nmul fallback: the windowed segment kernel holds y resident in
+    # VMEM, so past ~4M products one plan cannot fit — the sorted
+    # schedule splits AT SEGMENT BOUNDARIES into independent chunks
+    # (tuples (lo, hi, seg_base, nseg, plan)) whose outputs concatenate
+    ws_c_chunks: object = None
 
     @property
     def nmul(self) -> int:
@@ -101,6 +106,7 @@ class SpGEMMPlan:
             self.wg_a,
             self.wg_b,
             self.wg_c,
+            self.ws_c_chunks,
         )
 
     @classmethod
@@ -148,20 +154,68 @@ def _windowed_schedule_plans(a_pos, b_pos, c_pos, a_nnz, b_nnz, c_nnz):
             return p
         return None
 
-    def segment(seg, num_segments):
-        p = windowed_segment_plan(np.asarray(seg), num_segments)
-        n_in = int(np.asarray(seg).shape[0])
-        fits = 2 * (n_in + p.window + 256) * 4 + 16 * p.window * 4 <= budget
-        if fits and modeled_cost_s(p) <= 0.67 * xla_index_cost_s(n_in):
-            return p
-        return None
+    def seg_fits(p, n_in):
+        return 2 * (n_in + p.window + 256) * 4 + 16 * p.window * 4 <= budget
 
+    def segment(seg, num_segments):
+        seg = np.asarray(seg)
+        n_in = int(seg.shape[0])
+        p = windowed_segment_plan(seg, num_segments)
+        if seg_fits(p, n_in) and (
+            modeled_cost_s(p) <= 0.67 * xla_index_cost_s(n_in)
+        ):
+            return p, None
+        if not seg_fits(p, n_in):
+            chunks = _chunk_segment_plans(seg, num_segments, seg_fits)
+            if chunks is not None and (
+                sum(modeled_cost_s(c[4]) for c in chunks)
+                <= 0.67 * xla_index_cost_s(n_in)
+            ):
+                return None, tuple(chunks)
+        return None, None
+
+    ws_c, ws_chunks = segment(c_pos, c_nnz)
     return (
-        segment(c_pos, c_nnz),
+        ws_c,
         gather(a_pos, a_nnz),
         gather(b_pos, b_nnz),
         gather(c_pos, c_nnz),
+        ws_chunks,
     )
+
+
+def _chunk_segment_plans(seg, num_segments, seg_fits, target=2_000_000):
+    """Split a SORTED segment map at segment boundaries into VMEM-sized
+    chunks, one windowed plan each. Chunk i covers segment ids
+    [base_i, base_{i+1}) — empty ids inside a chunk's range sum to zero
+    in its kernel, so concatenating the chunk outputs reproduces the
+    full segment_sum exactly. Returns [(lo, hi, base, nseg, plan)] or
+    None if any chunk still cannot fit (a single monster segment)."""
+    from tpusparse.kernels.windowed import windowed_segment_plan
+
+    n_in = int(seg.shape[0])
+    nchunk = -(-n_in // target)
+    if nchunk <= 1:
+        return None
+    cuts = [0]
+    for i in range(1, nchunk):
+        pos = i * n_in // nchunk
+        pos = int(np.searchsorted(seg, seg[pos], side="right"))
+        cuts.append(min(pos, n_in))
+    cuts.append(n_in)
+    cuts = sorted(set(cuts))
+    bases = [0] + [int(seg[lo]) for lo in cuts[1:-1]] + [int(num_segments)]
+    chunks = []
+    for (lo, hi), (b0, b1) in zip(
+        zip(cuts[:-1], cuts[1:]), zip(bases[:-1], bases[1:])
+    ):
+        if lo >= hi:
+            return None  # degenerate cut (monster segment)
+        p = windowed_segment_plan(seg[lo:hi] - b0, b1 - b0)
+        if not seg_fits(p, hi - lo):
+            return None
+        chunks.append((lo, hi, b0, b1 - b0, p))
+    return chunks
 
 
 def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
@@ -210,7 +264,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
                 f"(shapes {a.shape} @ {b.shape})"
             )
         c_indptr, c_indices, a_pos, b_pos, c_pos = res
-        ws_c, wg_a, wg_b, wg_c = _windowed_schedule_plans(
+        ws_c, wg_a, wg_b, wg_c, ws_cc = _windowed_schedule_plans(
             a_pos, b_pos, c_pos,
             int(a_indices.shape[0]), int(b_indices.shape[0]),
             int(c_indices.shape[0]),
@@ -224,6 +278,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
             a_shape=a.shape,
             b_shape=b.shape,
             ws_c=ws_c, wg_a=wg_a, wg_b=wg_b, wg_c=wg_c,
+            ws_c_chunks=ws_cc,
         )
         _PLAN_CACHE[key] = plan
         return plan
@@ -254,7 +309,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
     c_rows = (uniq // n).astype(np.int64)
     c_indptr = np.zeros(m + 1, dtype=_INT)
     c_indptr[1:] = np.cumsum(np.bincount(c_rows, minlength=m)).astype(_INT)
-    ws_c, wg_a, wg_b, wg_c = _windowed_schedule_plans(
+    ws_c, wg_a, wg_b, wg_c, ws_cc = _windowed_schedule_plans(
         a_pos, b_pos, c_pos, a_nnz, int(b_indices.shape[0]), c_nnz
     )
     plan = SpGEMMPlan(
@@ -266,6 +321,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
         a_shape=a.shape,
         b_shape=b.shape,
         ws_c=ws_c, wg_a=wg_a, wg_b=wg_b, wg_c=wg_c,
+        ws_c_chunks=ws_cc,
     )
     _PLAN_CACHE[key] = plan
     return plan
@@ -291,6 +347,11 @@ def _spgemm_data(plan: SpGEMMPlan, a_data, b_data):
     prods = av * bv
     if plan.ws_c is not None:
         return windowed_segment_sum(prods, plan.ws_c)
+    if plan.ws_c_chunks is not None:
+        return jnp.concatenate([
+            windowed_segment_sum(prods[lo:hi], p)
+            for (lo, hi, _base, _nseg, p) in plan.ws_c_chunks
+        ])
     return jax.ops.segment_sum(
         prods,
         plan.c_pos,
@@ -344,11 +405,15 @@ _spgemm_data.defvjp(_spgemm_fwd, _spgemm_bwd)
 
 
 # Cost-model constants measured on TPU v5e (see benchmarks/RESULTS.md):
-# the gather/segment-sum schedule executes at a fixed ~64M products/s
-# (1-D random gathers underuse the VPU lanes), so beyond a few hundred K
-# products the densify-and-ride-the-MXU route wins — exactly the same
-# regime split ops._route_spmm makes for SpMM.
-_SCHEDULE_MULTS_PER_S = 64e6
+# with the windowed accumulation (r4) the schedule executes at ~430M
+# products/s, measured consistently from 69k to 6.9M products (0.17 ms /
+# 2.42 ms / 15.6 ms) — c_pos is sorted by construction, so the windowed
+# segment plan (or its VMEM-chunked form) essentially always adopts and
+# the old ~64M/s XLA scalar floor no longer binds. The r3 dense
+# crossover (~1% uniform fill at 4096²) moved: schedule 15.6 ms vs
+# dense 41.7 ms at that exact point, so dense now wins only past ~4%
+# fill where nmul approaches m·k·density² ≈ MXU-pass cost.
+_SCHEDULE_MULTS_PER_S = 430e6
 
 # XLA's TPU gather executes ~1 index at a time: ~6.7 ns/element measured
 # (flat 1-D form; 2-D fancy indexing is 1.5x worse, sortedness hints are
