@@ -244,8 +244,11 @@ def test_spgemm_dense_method_grads():
 def test_spgemm_auto_routes_by_fill():
     from tpusparse.spgemm import _route_spgemm
 
-    # dense-ish product -> MXU route; ultra-sparse -> schedule route
-    a_hi = random_csr(21, (512, 512), 0.05)
+    # dense-ish product -> MXU route; sparse -> schedule route. The
+    # windowed accumulation (r4) moved the crossover: the schedule now
+    # runs ~430M products/s (was ~64M at the XLA scalar floor), so only
+    # genuinely dense-ish products still route to the MXU.
+    a_hi = random_csr(21, (512, 512), 0.3)
     assert _route_spgemm(a_hi, a_hi) == "dense"
     a_lo = random_csr(22, (512, 512), 0.002)
     assert _route_spgemm(a_lo, a_lo) == "schedule"
