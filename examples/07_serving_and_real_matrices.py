@@ -115,3 +115,22 @@ ind, ptr = local_global_pattern(1024, 40, 3)
 method, plan, report = route_sparse_attention(ind, ptr, 1024)
 print(f"attention route @seq1024 -> {method}")
 print(" ", report)
+
+# --- end-to-end quantized GPT serving (r4) --------------------------------
+# the whole-model serving artifact: int8 weights + int8 KV cache decode,
+# built from a trained float GPTDecoder in one call
+from tpusparse.models import GPTDecoder, quantize_gpt
+
+gpt = GPTDecoder(num_layers=2, hidden=64, num_heads=4, intermediate=128,
+                 vocab_size=100, max_position=32)
+ids = jnp.asarray(rng.integers(0, 100, (1, 8)).astype(np.int32))
+gparams = gpt.init(jax.random.PRNGKey(1), ids)
+qgpt = quantize_gpt(gpt, gparams)
+lg_q, cache = qgpt.prefill(ids)
+lg_f = gpt.apply(gparams, ids)
+rel = float(np.abs(np.asarray(lg_q) - np.asarray(lg_f)).max()
+            / np.abs(np.asarray(lg_f)).max())
+assert rel < 5e-2
+toks = qgpt.generate(ids, 4)
+print(f"QuantizedGPT: prefill rel err {rel:.1e} vs float model, "
+      f"generated {toks.shape} tokens (int8 weights + int8 KV cache)")
