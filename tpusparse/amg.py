@@ -425,6 +425,8 @@ _register(
 
 _SCAN_STEP_S = 20e-6  # measured fixed cost per dia_spmm scan step (v5e r3)
 _SCAN_U = 32          # must match ops.dia_spmm's chunk width
+_DIA_KERNEL_BW = 150e9  # r4 wide-DIA Pallas kernel effective stream rate
+#                         (26.7 ps/padded element: 1909×32768 in 1.67 ms)
 
 
 def _route_level(cur_ip, cur_ix, cur_d, n: int, dtype):
@@ -449,7 +451,17 @@ def _route_level(cur_ip, cur_ix, cur_d, n: int, dtype):
     offs_all = cur_ix.astype(np.int64) - rows
     u, inv = np.unique(offs_all, return_inverse=True)
     cnt = np.bincount(inv, minlength=u.size)
-    per_diag = n * 3 * 4.0 / c["dia_bw"]
+    # wide-DIA (>128 diagonals) runs the r4 Pallas kernel, which streams
+    # the padded data ONCE with x VMEM-resident — measured 26.7 ps per
+    # padded element on v5e (1909×32768 in 1.67 ms, kernels/dia.py), i.e.
+    # an effective ~150 GB/s including its per-diagonal VPU work. The
+    # narrow (≤128) path is the unrolled XLA one at 3 passes of dia_bw.
+    wide = int(
+        (cnt * c["gather_per_nnz_floor"] > n * 4.0 / _DIA_KERNEL_BW).sum()
+    ) > 128
+    per_diag = (
+        n * 4.0 / _DIA_KERNEL_BW if wide else n * 3 * 4.0 / c["dia_bw"]
+    )
     keep = cnt * c["gather_per_nnz_floor"] > per_diag
     budget = (256 * 1024 * 1024) // max(n * np.dtype(dtype).itemsize, 1)
     if int(keep.sum()) > budget:
@@ -459,16 +471,31 @@ def _route_level(cur_ip, cur_ix, cur_d, n: int, dtype):
         keep &= sel
     nd_kept = int(keep.sum())
     if nd_kept > 128:
-        t_dia = max(
-            nd_kept * n * 3 * 4.0 / c["dia_bw"],
-            -(-nd_kept // _SCAN_U) * _SCAN_STEP_S,
+        # hybrid total = kernel stream of kept diagonals + gather of the
+        # dropped remainder (the r3 model omitted the remainder and used
+        # the old 3-pass scan rate; with the r4 kernel the DIA side is
+        # ~2.4x cheaper, which re-routes e.g. laplace3d_64's L1)
+        rem_nnz = float(cur_ip[-1]) - float(cnt[keep].sum())
+        t_dia = (
+            nd_kept * n * 4.0 / _DIA_KERNEL_BW
+            + rem_nnz * c["gather_per_nnz_floor"]
         )
         t_gather = float(cur_ip[-1]) * c["gather_per_nnz_floor"]
-        blocks = np.unique(
-            (rows // 128) * (1 + n // 128) + cur_ix.astype(np.int64) // 128
-        ).size
-        t_block = blocks * c["tiled_slot_overhead"] + _SCAN_STEP_S
-        if t_dia >= min(t_gather, t_block):
+        alts = [t_gather]
+        if n <= 8192:
+            # latency-class regime: spmm-auto's dense/tiled executors
+            # finish small levels in tens of µs (r3: 2407-row 279-diag
+            # level 0.39 ms scanned vs 0.015 ms auto-routed). Past a few
+            # k rows this block estimate is fiction for the V-cycle's
+            # n=1 matvecs — the router sends SpMV to gather there, and
+            # the r3 gate's unconditional use of it mis-routed
+            # laplace3d's L1 to CSR (modeled 0.8 ms, measured 8.9 ms).
+            blocks = np.unique(
+                (rows // 128) * (1 + n // 128)
+                + cur_ix.astype(np.int64) // 128
+            ).size
+            alts.append(blocks * c["tiled_slot_overhead"] + _SCAN_STEP_S)
+        if t_dia >= min(alts):
             return None
     if not keep.any():
         return None
@@ -565,7 +592,12 @@ def smoothed_aggregation_setup(
         split = _route_level(cur_ip, cur_ix, cur_d, n, dtype)
         dia_host = dia_offs = rem_host = None
         if split is None:
-            a_level = cur_a
+            # CSR level: the smoother runs routed spmm on it — push the
+            # values now (cur_a may carry a lazy host triple, see below)
+            a_level = CSR(
+                data=jnp.asarray(cur_a.data), indices=cur_a.indices,
+                indptr=cur_a.indptr, shape=cur_a.shape,
+            )
         else:
             dia_host, dia_offs, rem_host = split
             dia_part = _DIA(
@@ -702,12 +734,23 @@ def smoothed_aggregation_setup(
                 gplan=gplan,
                 splan=splan,
             )
+        # P/R pushes: factored levels never touch lvl.p/lvl.r in the
+        # V-cycle (p_fact serves both directions), so keep their values
+        # HOST-side there. These were the largest arrays in the
+        # hierarchy, and host->device pushes ride the ~25 ms-latency
+        # tunnel: the laplace2d_1024 setup measured 112 s on-TPU vs
+        # 6.3 s forced-CPU with all pushes in (r4) — transfer, not
+        # compute, is the setup cost, and the windowed planner the r3
+        # verdict suspected measures 0.16 s of it.
+        push = (lambda v: jnp.asarray(v)) if dia_host is None else (
+            lambda v: v
+        )
         lvl.p = CSR(
-            data=jnp.asarray(p_d.astype(dtype)),
+            data=push(p_d.astype(dtype)),
             indices=p_ix, indptr=p_ip, shape=(n, n_agg),
         )
         lvl.r = CSR(
-            data=jnp.asarray(r_d.astype(dtype)),
+            data=push(r_d.astype(dtype)),
             indices=r_ix, indptr=r_ip, shape=(n_agg, n),
         )
         # Galerkin A_c = (P^T A) P
@@ -717,8 +760,9 @@ def smoothed_aggregation_setup(
         cur_ip, cur_ix, cur_d = _h_spgemm(
             ra_ip, ra_ix, ra_d, p_ip, p_ix, p_d, n_agg, n_agg
         )
+        # lazy host triple: only pushed if this level routes to CSR
         cur_a = CSR(
-            data=jnp.asarray(cur_d.astype(dtype)),
+            data=cur_d.astype(dtype),
             indices=cur_ix, indptr=cur_ip, shape=(n_agg, n_agg),
         )
     nc = levels[-1].a.shape[0]
