@@ -456,13 +456,25 @@ def _route_level(cur_ip, cur_ix, cur_d, n: int, dtype):
     # padded element on v5e (1909×32768 in 1.67 ms, kernels/dia.py), i.e.
     # an effective ~150 GB/s including its per-diagonal VPU work. The
     # narrow (≤128) path is the unrolled XLA one at 3 passes of dia_bw.
-    wide = int(
-        (cnt * c["gather_per_nnz_floor"] > n * 4.0 / _DIA_KERNEL_BW).sum()
-    ) > 128
-    per_diag = (
-        n * 4.0 / _DIA_KERNEL_BW if wide else n * 3 * 4.0 / c["dia_bw"]
-    )
-    keep = cnt * c["gather_per_nnz_floor"] > per_diag
+    # The selection must price diagonals at the rate of the path it will
+    # ACTUALLY trigger: with the default constants the narrow 3-pass
+    # threshold is LOOSER than the kernel's, so a narrow-priced keep can
+    # spill past 128 and land on the wide path it never priced — pick
+    # the narrow set only when it stays on the unrolled path (clamped to
+    # its 128 largest diagonals), the kernel-priced set otherwise.
+    keep_n = cnt * c["gather_per_nnz_floor"] > n * 3 * 4.0 / c["dia_bw"]
+    keep_w = cnt * c["gather_per_nnz_floor"] > n * 4.0 / _DIA_KERNEL_BW
+    if int(keep_n.sum()) <= 128:
+        keep = keep_n
+    elif int(keep_w.sum()) > 128:
+        keep = keep_w
+    else:
+        # narrow pricing admits >128 but kernel pricing keeps ≤128:
+        # stay on the unrolled path with the 128 largest diagonals
+        order = np.argsort(-cnt)
+        sel = np.zeros(u.size, bool)
+        sel[order[:128]] = True
+        keep = keep_n & sel
     budget = (256 * 1024 * 1024) // max(n * np.dtype(dtype).itemsize, 1)
     if int(keep.sum()) > budget:
         order = np.argsort(-cnt)

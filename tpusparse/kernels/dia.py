@@ -166,7 +166,25 @@ def _pack_dia(data, offsets: np.ndarray, k: int):
     return data3, starts, meta
 
 
-_PACK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# id-keyed (jax.Array is IMMUTABLE but not hashable, so WeakKeyDictionary
+# cannot hold it — probed); a weakref.finalize evicts the entry when the
+# array is collected, which also makes id reuse safe (the callback runs
+# at free, before the id can be handed out again)
+_PACK_CACHE: dict = {}
+
+
+def _pack_cache_for(data):
+    ident = id(data)
+    hit = _PACK_CACHE.get(ident)
+    if hit is not None:
+        return hit
+    sub: dict = {}
+    try:
+        weakref.finalize(data, _PACK_CACHE.pop, ident, None)
+    except TypeError:  # not weak-referenceable
+        return None
+    _PACK_CACHE[ident] = sub
+    return sub
 
 
 def dia_spmv_pallas(data: jnp.ndarray, offsets, x: jnp.ndarray) -> jnp.ndarray:
@@ -185,10 +203,7 @@ def dia_spmv_pallas(data: jnp.ndarray, offsets, x: jnp.ndarray) -> jnp.ndarray:
         data, jax.core.Tracer
     )
     if concrete:
-        try:
-            sub = _PACK_CACHE.setdefault(data, {})
-        except TypeError:  # not weak-referenceable
-            sub = None
+        sub = _pack_cache_for(data)
         key = (offsets.tobytes(), k)
         packed = sub.get(key) if sub is not None else None
         if packed is None:

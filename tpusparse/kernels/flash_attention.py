@@ -395,7 +395,10 @@ def autotune_flash(
                 x, k, v, causal=causal, block_q=bq, block_k=bk,
                 precision=precision,
             )
-            return y / (1.0 + jnp.abs(y).max())
+            # scalar-only epilogue (0*max is unfoldable): a full-output
+            # normalize here would bias the persisted time vs harnesses
+            # that time the bare kernel (flash_roofline's full_step)
+            return x * (1.0 + 0.0 * jnp.abs(y).max())
 
         try:
             ts = [

@@ -201,7 +201,14 @@ def generate(
 ) -> jnp.ndarray:
     """Greedy autoregressive generation: prefill once, then one lax.scan
     of decode steps (static shapes, one compiled program). Returns
-    (b, steps) generated token ids."""
+    (b, steps) generated token ids. prompt_len + steps must fit
+    max_position (past it, the cache update and pos_emb gather would
+    CLAMP and silently corrupt the last slot)."""
+    if prompt_ids.shape[1] + steps > model.max_position:
+        raise ValueError(
+            f"prompt ({prompt_ids.shape[1]}) + steps ({steps}) exceeds "
+            f"max_position ({model.max_position})"
+        )
     logits, cache = model.apply(params, prompt_ids, method=GPTDecoder.prefill)
     first = jnp.argmax(logits[:, -1, :], axis=-1).astype(prompt_ids.dtype)
     p0 = prompt_ids.shape[1]

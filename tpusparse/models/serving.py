@@ -219,7 +219,17 @@ class QuantizedGPT:
         return logits, tuple(new_cache)
 
     def generate(self, prompt_ids, steps: int):
-        """Greedy generation: prefill + one lax.scan of decode steps."""
+        """Greedy generation: prefill + one lax.scan of decode steps.
+
+        prompt_len + steps must fit max_position: past it,
+        dynamic_update_slice would CLAMP and silently overwrite the last
+        cache slot (and pos_emb would clamp too) — corrupted tokens, no
+        error — so the bound is checked here where it is static."""
+        if prompt_ids.shape[1] + steps > self.max_position:
+            raise ValueError(
+                f"prompt ({prompt_ids.shape[1]}) + steps ({steps}) "
+                f"exceeds max_position ({self.max_position})"
+            )
         logits, cache = self.prefill(prompt_ids)
         first = jnp.argmax(logits[:, -1, :], axis=-1).astype(prompt_ids.dtype)
         p0 = prompt_ids.shape[1]

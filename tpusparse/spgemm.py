@@ -146,6 +146,16 @@ def _windowed_schedule_plans(a_pos, b_pos, c_pos, a_nnz, b_nnz, c_nnz):
 
     budget = get_config().vmem_limit_bytes // 2
     nmul = int(np.asarray(a_pos).shape[0])
+    # compile-payload cap: windowed plan arrays (rel / seg_masked / mask /
+    # exceptions, ~13 bytes/product across the adopted plans) ride the
+    # plan's AUX and embed as HLO LITERALS under jit — unlike
+    # a_pos/b_pos/c_pos, they can never thread as runtime arguments. The
+    # axon-class tunnel rejects remote_compile payloads in the ~100s-of-
+    # MB class (CLAUDE.md r2), so past ~10M products the windowed plans
+    # stand down and the schedule rides the stock XLA ops (at that fill
+    # the router usually prefers the dense route anyway).
+    if nmul > 10_000_000:
+        return None, None, None, None, None
 
     def gather(idx, table_len):
         p = windowed_gather_plan(np.asarray(idx), table_len)
