@@ -292,3 +292,34 @@ def test_spgemm_plan_native_matches_numpy(monkeypatch):
     np.testing.assert_array_equal(np.asarray(p_nat.a_pos), np.asarray(p_np.a_pos))
     np.testing.assert_array_equal(np.asarray(p_nat.b_pos), np.asarray(p_np.b_pos))
     np.testing.assert_array_equal(np.asarray(p_nat.c_pos), np.asarray(p_np.c_pos))
+
+
+def test_chunked_windowed_accumulation_exact():
+    """The VMEM-chunked segment path (>4M products in production) made
+    exercisable at test size: build chunk plans directly with a small
+    target and run the chunked execution against the stock segment_sum."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpusparse.spgemm import _chunk_segment_plans, _spgemm_data, spgemm_plan
+
+    a = random_csr(31, (256, 256), 0.05)
+    b = random_csr(32, (256, 256), 0.05)
+    plan = spgemm_plan(a, b)
+    seg = np.asarray(plan.c_pos)
+    chunks = _chunk_segment_plans(
+        seg, plan.c_nnz, lambda p, n: True, target=max(seg.size // 3, 1)
+    )
+    assert chunks is not None and len(chunks) >= 2
+    # chunk ranges tile [0, c_nnz) exactly
+    assert chunks[0][2] == 0 and sum(c[3] for c in chunks) == plan.c_nnz
+    forced = dataclasses.replace(plan, ws_c=None, ws_c_chunks=tuple(chunks))
+    got = np.asarray(_spgemm_data(forced, a.data, b.data))
+    ref = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(a.data)[plan.a_pos] * jnp.asarray(b.data)[plan.b_pos],
+            plan.c_pos, num_segments=plan.c_nnz, indices_are_sorted=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
