@@ -79,3 +79,41 @@ def test_quantized_weights_are_int8(small):
     assert qm.blocks[0].q.qw.shape == (64, 64)  # (in, out)
     assert qm.lm_head.qw.shape == (64, 50)
     assert qm.tok_emb.dtype == jnp.bfloat16
+
+
+def test_tp_decode_matches_single_device(small):
+    """Megatron-sharded quantized decode on a 2x4 mesh reproduces the
+    single-device decode logits (head-parallel attention + row-parallel
+    reduces are a reformulation, not an approximation)."""
+    from jax.sharding import Mesh
+
+    from tpusparse.parallel import make_tp_decode_step, shard_qgpt
+
+    _, _, ids, qm = small
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    _, cache = qm.prefill(ids[:, :4])
+    ref, _ = qm.decode_step(ids[:, 4], cache, 4)
+
+    qm_s, _ = shard_qgpt(qm, mesh)
+    step = make_tp_decode_step(qm_s, mesh)
+    lg, cache2 = step(ids[:, 4], cache, 4)
+    # row-parallel partial sums reassociate the bf16 contractions, so
+    # agreement is bf16-class relative to the logit scale, not bitwise
+    scale = np.abs(np.asarray(ref)).max()
+    assert _rel(lg, ref) < 5e-3, _rel(lg, ref)
+    assert np.abs(np.asarray(lg) - np.asarray(ref)).max() / scale < 5e-3
+    # head-sharded int8 cache round-trips through the step
+    assert cache2[0][0].dtype == jnp.int8
+
+
+def test_tp_decode_rejects_indivisible_heads(small):
+    from jax.sharding import Mesh
+
+    from tpusparse.parallel import shard_qgpt
+
+    _, _, _, qm = small  # 4 heads
+    devs = np.array(jax.devices()[:3]).reshape(1, 3)
+    mesh = Mesh(devs, ("data", "model"))
+    with pytest.raises(ValueError, match="must divide"):
+        shard_qgpt(qm, mesh)

@@ -87,3 +87,10 @@ __all__ += ["make_sharded_matvec", "sharded_cg", "sharded_power_iteration"]
 from tpusparse.parallel.dia import make_sharded_dia_matvec, sharded_dia_cg
 
 __all__ += ["make_sharded_dia_matvec", "sharded_dia_cg"]
+from tpusparse.parallel.serving import (
+    make_tp_decode_step,
+    qgpt_param_specs,
+    shard_qgpt,
+)
+
+__all__ += ["qgpt_param_specs", "shard_qgpt", "make_tp_decode_step"]
