@@ -168,14 +168,29 @@ def bench_matrix(name, n_cols, seed, logger, full, amg=False):
         rhs = jax.random.uniform(jax.random.PRNGKey(seed + 1), (m,))
         n_iter = 40 if full else 10
 
-        def amg_step(r):
-            sol, _ = cg(op, r, tol=1e-7, maxiter=n_iter, M=M_amg)
-            return sol / (1.0 + abs(sol).max())
+        # The hierarchy rides as a jit ARGUMENT: its wide-DIA levels can
+        # exceed the tunnel's ~100 MB compile-payload limit as closed-over
+        # literals (laplace3d_64 L1 is ~200 MB — HTTP 413), and the levels
+        # are stored pre-packed (amg PackedDIA) so argument-passing costs
+        # no per-call repacking. At n_iter V-cycles per call the program
+        # runs 100s of ms, so direct wall timing with the calibrated
+        # dispatch overhead subtracted is exact — no chained loop needed.
+        import time as _t2
 
-        t = device_time_per_iter(amg_step, rhs, **TIMER)
+        from tpusparse.utils.timing import _dispatch_overhead
+
+        amg_solve = jax.jit(
+            lambda M_, r: cg(op, r, tol=1e-7, maxiter=n_iter, M=M_)[0]
+        )
+        x_sol = np.asarray(amg_solve(M_amg, rhs))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0_ = _t2.perf_counter()
+            amg_solve(M_amg, rhs).block_until_ready()
+            best = min(best, _t2.perf_counter() - t0_)
+        t = max(best - _dispatch_overhead(), 1e-9)
         rec["amg_cg_ms_per_iter"] = t * 1e3 / n_iter
         # convergence check: relative residual after n_iter AMG-CG iters
-        x_sol, _ = cg(op, rhs, tol=1e-7, maxiter=n_iter, M=M_amg)
         resid = np.asarray(ts.spmm(a, x_sol)) - np.asarray(rhs)
         rec["amg_rel_resid"] = float(
             np.linalg.norm(resid) / np.linalg.norm(np.asarray(rhs))

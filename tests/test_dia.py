@@ -285,3 +285,93 @@ def test_wide_dia_spmv_kernel_route_and_grads(rng):
     rel = np.abs(np.asarray(gx, np.float64) - gx_ref).max() / np.abs(gx_ref).max()
     assert rel < 1e-4, rel
     assert bool(jnp.isfinite(gd).all()) and float(jnp.abs(gd).max()) > 0
+
+
+def test_packed_dia_operator_jit_argument(rng):
+    """PackedDIA (kernels/dia.py): a wide-DIA operator whose PACKED plane
+    is the pytree leaf, so an AMG hierarchy holding it can ride as a jit
+    ARGUMENT — closing over a plain DIA level embeds the plane as an HLO
+    literal (laplace3d_64 L1 is ~200 MB, past the tunnel's compile-payload
+    limit), while threading a plain DIA re-packs per matvec in-trace."""
+    from tpusparse.kernels.dia import PackedDIA, pack_dia_operator
+
+    n = 640
+    offs = np.unique(rng.integers(-400, 400, 400))[:160].astype(np.int64)
+    data = rng.standard_normal((offs.size, n)).astype(np.float32)
+    dense = np.zeros((n, n))
+    for s_, off in enumerate(offs):
+        r = np.arange(max(0, -off), min(n, n - off))
+        dense[r, r + off] += data[s_, r]
+    p = pack_dia_operator(jnp.asarray(data), offs, (n, n))
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    ref = dense @ np.asarray(x, np.float64)
+
+    # eager + as a jit ARGUMENT (the design point) give the same answer
+    y_eager = np.asarray(p.mv(x))
+    y_arg = np.asarray(jax.jit(lambda op, v: op.mv(v))(p, x))
+    assert np.abs(y_eager - ref).max() / np.abs(ref).max() < 1e-5
+    np.testing.assert_array_equal(y_eager, y_arg)
+
+    # multivector fallback (unpack in-trace) stays correct
+    xm = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    ym = np.asarray(jax.jit(lambda op, v: op.mv(v))(p, xm))
+    refm = dense @ np.asarray(xm, np.float64)
+    assert np.abs(ym - refm).max() / np.abs(refm).max() < 1e-5
+
+    # differentiable through the packed leaf (scan-reference VJP)
+    gd3, gx = jax.grad(
+        lambda d3, v: jnp.sum(
+            PackedDIA(d3, p.offsets_t, p.shape, p.meta).mv(v) ** 2
+        ),
+        argnums=(0, 1),
+    )(p.data3, x)
+    gx_ref = 2.0 * dense.T @ (dense @ np.asarray(x, np.float64))
+    assert np.abs(np.asarray(gx, np.float64) - gx_ref).max() / np.abs(
+        gx_ref
+    ).max() < 1e-4
+    assert bool(jnp.isfinite(gd3).all()) and float(jnp.abs(gd3).max()) > 0
+
+
+def test_amg_wide_levels_pack_and_thread_as_argument(rng):
+    """A hierarchy whose wide (>128-diagonal) levels exist must (a) store
+    them as PackedDIA and (b) solve correctly with the PRECONDITIONER
+    PASSED AS A JIT ARGUMENT — the literal-free form the realmatrix
+    benchmark times (tunnel payload limit, CLAUDE.md r2/r4 notes)."""
+    import scipy.sparse as _ssp
+
+    from tpusparse.amg import _HybridOp, amg_preconditioner
+    from tpusparse.kernels.dia import PackedDIA
+    from tpusparse.linalg import cg
+
+    n1 = 24
+    T = _ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (n1, n1), format="csr")
+    I = _ssp.identity(n1, format="csr")
+    A3 = (
+        _ssp.kron(_ssp.kron(T, I), I)
+        + _ssp.kron(_ssp.kron(I, T), I)
+        + _ssp.kron(_ssp.kron(I, I), T)
+    ).tocsr()
+    a = ts.CSR(
+        data=jnp.asarray(A3.data.astype(np.float32)),
+        indices=jnp.asarray(A3.indices.astype(np.int32)),
+        indptr=jnp.asarray(A3.indptr.astype(np.int32)),
+        shape=A3.shape,
+    )
+    M = amg_preconditioner(a)
+    packed = [
+        lvl.a.dia if isinstance(lvl.a, _HybridOp) else lvl.a
+        for lvl in M.levels
+        if isinstance(lvl.a, PackedDIA)
+        or (isinstance(lvl.a, _HybridOp)
+            and isinstance(lvl.a.dia, PackedDIA))
+    ]
+    # 3-D Galerkin coarse operators spread wide: the hierarchy should
+    # have at least one packed level (if coarsening keeps them all ≤128
+    # diagonals at this size, the test still validates argument passing)
+    rhs = jnp.asarray(rng.normal(size=A3.shape[0]).astype(np.float32))
+    solve = jax.jit(lambda M_, r: cg(a, r, tol=1e-8, maxiter=60, M=M_)[0])
+    x = np.asarray(solve(M, rhs))
+    resid = np.linalg.norm(A3 @ x - np.asarray(rhs)) / np.linalg.norm(
+        np.asarray(rhs)
+    )
+    assert resid < 1e-4, (resid, len(packed))

@@ -131,16 +131,24 @@ class _HybridOp:
     shape: Tuple[int, int]
 
     def mv(self, x):
-        return ops.dia_spmm(self.dia, x) + ops.spmm(
-            self.rem, x, method="gather"
+        from tpusparse.kernels.dia import PackedDIA as _PackedDIA
+
+        dia_y = (
+            self.dia.mv(x)
+            if isinstance(self.dia, _PackedDIA)
+            else ops.dia_spmm(self.dia, x)
         )
+        return dia_y + ops.spmm(self.rem, x, method="gather")
 
 
 def _op_mv(a, x):
     """Matvec for a level operator in any of its formats."""
+    from tpusparse.kernels.dia import PackedDIA as _PackedDIA
     from tpusparse.types import DIA as _DIA
 
     if isinstance(a, _HybridOp):
+        return a.mv(x)
+    if isinstance(a, _PackedDIA):
         return a.mv(x)
     if isinstance(a, _DIA):
         return ops.dia_spmm(a, x)
@@ -294,11 +302,12 @@ class AMGPreconditioner:
         return sum(l.nnz for l in self.levels) / max(self.levels[0].nnz, 1)
 
     def report(self) -> str:
+        from tpusparse.kernels.dia import PackedDIA as _PackedDIA
         from tpusparse.types import DIA as _DIA
 
         lines = ["AMG hierarchy (smoothed aggregation):"]
         for i, l in enumerate(self.levels):
-            if isinstance(l.a, _DIA):
+            if isinstance(l.a, (_DIA, _PackedDIA)):
                 fmt = f"dia:{l.a.offsets.size}"
             elif isinstance(l.a, _HybridOp):
                 fmt = (
@@ -612,9 +621,23 @@ def smoothed_aggregation_setup(
             )
         else:
             dia_host, dia_offs, rem_host = split
-            dia_part = _DIA(
-                data=jnp.asarray(dia_host), offsets=dia_offs, shape=(n, n)
-            )
+            if dia_offs.size > 128:
+                # wide plane: the Pallas SpMV kernel runs it, and storing
+                # it PRE-PACKED keeps the hierarchy usable as a jit
+                # ARGUMENT (a plain DIA leaf would either embed a
+                # >100 MB HLO literal when closed over — past the tunnel
+                # compile-payload limit — or re-pack per matvec when
+                # threaded; kernels/dia.py PackedDIA docstring)
+                from tpusparse.kernels.dia import pack_dia_operator
+
+                dia_part = pack_dia_operator(
+                    jnp.asarray(dia_host), dia_offs, (n, n)
+                )
+            else:
+                dia_part = _DIA(
+                    data=jnp.asarray(dia_host), offsets=dia_offs,
+                    shape=(n, n),
+                )
             if rem_host is None:
                 a_level = dia_part
             else:
@@ -681,14 +704,26 @@ def smoothed_aggregation_setup(
                     ]
             from tpusparse.types import DIA as _DIA2
 
-            dinv_a = _DIA2(
-                data=jnp.asarray(dinva_host), offsets=offs_l, shape=(n, n)
-            )
-            dinv_a_t = _DIA2(
-                data=jnp.asarray(t_host),
-                offsets=np.sort(-offs_l[::-1]),
-                shape=(n, n),
-            )
+            if offs_l.size > 128:  # pre-pack wide planes (same rationale
+                #                    as the level operator above)
+                from tpusparse.kernels.dia import pack_dia_operator
+
+                dinv_a = pack_dia_operator(
+                    jnp.asarray(dinva_host), offs_l, (n, n)
+                )
+                dinv_a_t = pack_dia_operator(
+                    jnp.asarray(t_host), np.sort(-offs_l[::-1]), (n, n)
+                )
+            else:
+                dinv_a = _DIA2(
+                    data=jnp.asarray(dinva_host), offsets=offs_l,
+                    shape=(n, n),
+                )
+                dinv_a_t = _DIA2(
+                    data=jnp.asarray(t_host),
+                    offsets=np.sort(-offs_l[::-1]),
+                    shape=(n, n),
+                )
             if rem_host is not None:
                 # remainder of D⁻¹A rides the gather path in both
                 # directions — scale rows by dinv, transpose on host

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpusparse.utils.config import get_config, interpret_mode, round_up
 
-__all__ = ["dia_spmv_pallas"]
+__all__ = ["dia_spmv_pallas", "PackedDIA", "pack_dia_operator"]
 
 _DU = 8       # diagonals per grid cell
 _MT = 16384   # output tile (mt/128 = 128 chunk rows per seg)
@@ -276,3 +276,127 @@ def dia_spmv(data: jnp.ndarray, offsets, x: jnp.ndarray) -> jnp.ndarray:
     """Differentiable wide-DIA SpMV: Pallas kernel forward, scan-reference
     backward. `offsets` must be concrete."""
     return _dia_spmv_vjp(tuple(int(o) for o in np.asarray(offsets)), data, x)
+
+
+# ---------------------------------------------------------------------------
+# PackedDIA — a wide-DIA operator stored permanently in the KERNEL layout.
+#
+# Why it exists (r4, found the hard way): a jitted program embeds every
+# closed-over array as an HLO LITERAL, and the axon tunnel rejects
+# compile payloads past ~100 MB — laplace3d_64's L1 DIA plane alone is
+# ~200 MB, so an AMG hierarchy holding plain `DIA` levels cannot be
+# closed over at all. Passing the hierarchy as a jit ARGUMENT fixes the
+# literal, but then `dia_spmv_pallas` sees a TRACER and re-runs the
+# pad/reshape pack INSIDE the trace — a full copy of the plane per
+# matvec that XLA does not hoist out of loop bodies (measured 1.3 ms of
+# a 2.0 ms call). PackedDIA resolves both: the packed (ndp, mq/128, 128)
+# plane IS the pytree leaf, the kernel's static geometry rides aux, so
+# the operator works as a jit argument with zero per-call packing.
+# ---------------------------------------------------------------------------
+
+
+class PackedDIA:
+    """Wide-DIA matvec operator in kernel layout; registered pytree.
+
+    Leaves: `data3` (the packed diagonal plane). Aux (static): sorted
+    integer `offsets_t`, `shape`, kernel meta. Same value convention as
+    `types.DIA` / `ops.dia_spmm`.
+    """
+
+    def __init__(self, data3, offsets_t, shape, meta):
+        self.data3 = data3
+        self.offsets_t = tuple(int(o) for o in offsets_t)
+        self.shape = tuple(shape)
+        self.meta = tuple(meta)  # (mq, mt, nd, span_lo, wp)
+
+    @property
+    def offsets(self) -> np.ndarray:  # report()/introspection parity w/ DIA
+        return np.asarray(self.offsets_t, np.int64)
+
+    @property
+    def dtype(self):
+        return self.data3.dtype
+
+    def unpack_data(self) -> jnp.ndarray:
+        """The original (nd, m) diagonal plane (a copy; in-trace safe)."""
+        nd, m = self.meta[2], self.shape[0]
+        return self.data3.reshape(self.data3.shape[0], -1)[:nd, :m]
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 1:
+            return _packed_dia_mv(
+                (self.offsets_t, self.meta, self.shape), self.data3, x
+            )
+        # Multivector fallback: unpack in-trace (one copy) and run the
+        # chunked-scan SpMM — wide-DIA multivector work is off the
+        # kernel's (VMEM-resident x) design point anyway.
+        from tpusparse import ops as _ops
+        from tpusparse.types import DIA as _DIA
+
+        return _ops.dia_spmm(
+            _DIA(data=self.unpack_data(), offsets=self.offsets,
+                 shape=self.shape),
+            x,
+        )
+
+    def __call__(self, x):
+        return self.mv(x)
+
+
+def _packed_flatten(p: PackedDIA):
+    return (p.data3,), (p.offsets_t, p.shape, p.meta)
+
+
+def _packed_unflatten(aux, leaves):
+    return PackedDIA(leaves[0], aux[0], aux[1], aux[2])
+
+
+jax.tree_util.register_pytree_node(
+    PackedDIA, _packed_flatten, _packed_unflatten
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _packed_dia_mv(static, data3, x):
+    offsets_t, (mq, mt, nd, span_lo, wp), (m, k) = static
+    starts = jnp.asarray(
+        (np.asarray(offsets_t, np.int64) + span_lo).astype(np.int32)
+    )
+    return _dia_spmv_jit(
+        data3, starts, x, mq=mq, mt=mt, nd=nd, span_lo=span_lo, wp=wp
+    )[:m]
+
+
+def _packed_dia_fwd(static, data3, x):
+    return _packed_dia_mv(static, data3, x), (data3, x)
+
+
+def _packed_dia_bwd(static, res, g):
+    offsets_t, (mq, mt, nd, span_lo, wp), (m, k) = static
+    data3, x = res
+    data = data3.reshape(data3.shape[0], -1)[:nd, :m]
+    _, pull = jax.vjp(
+        lambda d, v: _dia_spmv_scan_ref(offsets_t, d, v), data, x
+    )
+    dd, dx = pull(g)
+    dd = jnp.pad(dd, ((0, data3.shape[0] - nd), (0, mq - m)))
+    return dd.reshape(data3.shape), dx
+
+
+_packed_dia_mv.defvjp(_packed_dia_fwd, _packed_dia_bwd)
+
+
+def pack_dia_operator(data, offsets, shape) -> PackedDIA:
+    """Build a PackedDIA from a (nd, m) diagonal plane + concrete offsets.
+
+    Runs the pack ONCE, eagerly (call at setup time with concrete data —
+    this is the point). `shape` is the operator's (m, k)."""
+    offsets = np.asarray(offsets, np.int64)
+    k = int(shape[1])
+    data3, _starts, meta = _pack_dia(jnp.asarray(data), offsets, k)
+    return PackedDIA(
+        data3,
+        np.sort(offsets),  # _pack_dia sorts the plane to match
+        shape,
+        (meta["mq"], meta["mt"], meta["nd"], meta["span_lo"], meta["wp"]),
+    )
