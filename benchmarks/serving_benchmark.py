@@ -66,19 +66,23 @@ def main():
     prompt = jnp.asarray(
         rng.integers(0, args.vocab, (1, 16)).astype(np.int32)
     )
+    # Params/the quantized instance ride as jit ARGUMENTS throughout: a
+    # ~350M-param tree closed over in a jitted step embeds as HLO
+    # literals, and the tunnel rejects compile payloads past ~100 MB
+    # (HTTP 413 — found the hard way on the AMG hierarchy, CLAUDE.md).
     lg_f, cache_f = m.apply(params, prompt, method=GPTDecoder.prefill)
     lg_q, cache_q = qm.prefill(prompt)
     step_f = jax.jit(
-        lambda t, c, p: m.apply(params, t, c, p, method=GPTDecoder.decode_step)
+        lambda w, t, c, p: m.apply(w, t, c, p, method=GPTDecoder.decode_step)
     )
-    step_q = jax.jit(qm.decode_step)
+    step_q = jax.jit(lambda q, t, c, p: q.decode_step(t, c, p))
     tok_f = jnp.argmax(lg_f[:, -1, :], axis=-1).astype(jnp.int32)
     tok_q = jnp.argmax(lg_q[:, -1, :], axis=-1).astype(jnp.int32)
     agree, rel_errs = 0, []
     n_steps = 24
     for i in range(n_steps):
-        lf, cache_f = step_f(tok_f, cache_f, 16 + i)
-        lq, cache_q = step_q(tok_f, cache_q, 16 + i)  # same token stream
+        lf, cache_f = step_f(params, tok_f, cache_f, 16 + i)
+        lq, cache_q = step_q(qm, tok_f, cache_q, 16 + i)  # same tokens
         a, b = np.asarray(lq, np.float64), np.asarray(lf, np.float64)
         rel_errs.append(float(np.abs(a - b).max() / np.abs(b).max()))
         agree += int(np.argmax(a) == np.argmax(b))
@@ -103,42 +107,48 @@ def main():
         "quality_int8_vs_fp32": quality,
     }
 
+    # Timing: one jitted greedy `generate` (prefill + lax.scan of decode
+    # steps) per tier, with the weight tree as a jit ARGUMENT (no
+    # literals, no per-step re-pack — scan treats it as loop-invariant).
+    # Per-token time is the S_HI/S_LO run DIFFERENCE: prefill, argmax
+    # plumbing, and the ~25 ms dispatch overhead cancel, leaving
+    # (S_HI − S_LO) genuinely sequential decode steps — the serving
+    # metric. Chained per-step timers can't express this workload
+    # without closing over the weights (413) or threading the full tree
+    # through the loop carry (measured 2x timer artifact, CLAUDE.md r3).
+    import functools
+    import time as _time2
+
+    from tpusparse.models.gpt import generate as gpt_generate
+    from tpusparse.utils.timing import _dispatch_overhead
+
+    S_LO, S_HI = 16, 96
+
+    def per_step_time(gen_fn, *gen_args):
+        ts = {}
+        for s in (S_LO, S_HI):
+            f = jax.jit(functools.partial(gen_fn, steps=s))
+            f(*gen_args).block_until_ready()  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0_ = _time2.perf_counter()
+                f(*gen_args).block_until_ready()
+                best = min(best, _time2.perf_counter() - t0_)
+            ts[s] = best - _dispatch_overhead()
+        return max(ts[S_HI] - ts[S_LO], 1e-9) / (S_HI - S_LO)
+
     for b in [int(x) for x in args.batches.split(",")]:
         prompt_b = jnp.asarray(
             rng.integers(0, args.vocab, (b, 16)).astype(np.int32)
         )
-        pos = 100  # fixed mid-cache slot: same compute every chained iter
 
-        # ---- bf16 tier -----------------------------------------------------
-        _, cache = m.apply(
-            params16, prompt_b, method=GPTDecoder.prefill
+        t16 = per_step_time(
+            lambda w, ids, steps: gpt_generate(m, w, ids, steps),
+            params16, prompt_b,
         )
-        tok0 = jnp.zeros((b,), jnp.int32)
-
-        def bf16_step(c):
-            tok, cache = c
-            lg, cache = m.apply(
-                params16, tok, cache, pos, method=GPTDecoder.decode_step
-            )
-            return jnp.argmax(lg, axis=-1).astype(jnp.int32), cache
-
-        t16 = device_time_per_iter(
-            bf16_step, (tok0, cache), iters_lo=4, iters_hi=16
+        tq8 = per_step_time(
+            lambda q, ids, steps: q.generate(ids, steps), qm, prompt_b
         )
-        del cache
-
-        # ---- int8 tier -----------------------------------------------------
-        _, qcache = qm.prefill(prompt_b)
-
-        def q8_step(c):
-            tok, cache = c
-            lg, cache = qm.decode_step(tok, cache, pos)
-            return jnp.argmax(lg, axis=-1).astype(jnp.int32), cache
-
-        tq8 = device_time_per_iter(
-            q8_step, (tok0, qcache), iters_lo=4, iters_hi=16
-        )
-        del qcache
 
         kv_bytes_bf16 = 2.0 * args.layers * 2 * b * args.hidden * args.max_position
         kv_bytes_int8 = kv_bytes_bf16 / 2
