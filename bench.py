@@ -197,15 +197,41 @@ def main():
     }
 
     # ---- detail: dense GEMM kernel TFLOP/s ----------------------------------
-    from tpusparse.kernels.gemm import gemm_pallas
+    # Per-shape tile winners move with chip tenancy session to session
+    # (RESULTS.md r3) — a tile persisted in one session has lost the driver
+    # session before (r3: 150 vs 193 XLA TFLOP/s). Revalidate IN THIS
+    # session: time the persisted winner plus the shortlist of tiles that
+    # have each won at least one recorded session, report the session best,
+    # and persist it so the next process starts from this session's truth.
+    from tpusparse.kernels.gemm import _tile_key, _tuned_tile, gemm_pallas
+    from tpusparse.utils.calibrate import save_gemm_tile
 
     x0 = jax.random.uniform(jax.random.PRNGKey(2), (4096, 4096), dtype=jnp.bfloat16)
 
-    def gemm_step(x):
-        y = gemm_pallas(x, x, precision="default", out_dtype=jnp.bfloat16)
-        return norm(y.astype(jnp.float32)).astype(jnp.bfloat16)
+    persisted = _tuned_tile(4096, 4096, 4096, "bfloat16")
+    shortlist = [(512, 4096, 512), (1024, 4096, 512), (2048, 1024, 512)]
+    tiles = []
+    for t in ([tuple(persisted)] if persisted else []) + shortlist:
+        if t not in tiles:
+            tiles.append(t)
+    tiles = tiles[:3]  # bench budget: 3 compiles ≈ the old single row + 2
 
-    t_gemm = device_time_per_iter(gemm_step, x0)
+    tile_times = {}
+    for bm_, bn_, bk_ in tiles:
+
+        def gemm_step(x, bm_=bm_, bn_=bn_, bk_=bk_):
+            y = gemm_pallas(x, x, precision="default", out_dtype=jnp.bfloat16,
+                            block_m=bm_, block_n=bn_, block_k=bk_)
+            return norm(y.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        try:
+            tile_times[(bm_, bn_, bk_)] = device_time_per_iter(
+                gemm_step, x0, iters_lo=2, iters_hi=6
+            )
+        except Exception:
+            continue  # Mosaic reject under this session's VMEM pressure
+    best_tile = min(tile_times, key=tile_times.get)
+    t_gemm = tile_times[best_tile]
     details["gemm_pallas_bf16_4096_tflops"] = 2.0 * 4096**3 / t_gemm / 1e12
 
     def xla_step(x):
@@ -214,6 +240,17 @@ def main():
 
     t_xla = device_time_per_iter(xla_step, x0)
     details["gemm_xla_bf16_4096_tflops"] = 2.0 * 4096**3 / t_xla / 1e12
+    details["gemm_tile_revalidation"] = {
+        "persisted_tile": list(persisted) if persisted else None,
+        "session_tflops": {
+            str(list(t)): 2.0 * 4096**3 / tt / 1e12
+            for t, tt in tile_times.items()
+        },
+        "session_best_tile": list(best_tile),
+        "vs_xla": t_xla / t_gemm,
+    }
+    if jax.default_backend() == "tpu":
+        save_gemm_tile(_tile_key(4096, 4096, 4096, "bfloat16"), best_tile)
 
     # ---- detail: BERT-attention layer step time (seq 512, batch 8) ----------
     from tpusparse.models import BertAttentionLayer
@@ -368,23 +405,82 @@ def main():
     # A (512, 512) @ 10% (the reference cusparse density) x B (256·16, 512,
     # 64) — the reference's naive-kernel batched workload
     # (tests/naive_kernel_test.py:66-68). r3 folds batch into the executor's
-    # n-grid (ONE launch, the reference's matmuls.py:282-288 flatten); the
-    # old per-element lax.map path is timed alongside as the baseline.
+    # n-grid (ONE launch, the reference's matmuls.py:282-288 flatten). r4:
+    # the row is judged the way everything else is — against the
+    # matched-precision dense batched matmul, with the router's own choice
+    # at folded width recorded, and a traffic-bound roofline. At 10%
+    # UNSTRUCTURED density dense is expected to win (the router knows it);
+    # the fold's win case is the block-sparse batched row that follows.
+    from tpusparse.plan import _ROOFLINE
+
+    hbm_bw = _ROOFLINE["hbm_bandwidth"]
     a_bert = ts.random_csr(11, (512, 512), 0.10)
     b4 = jax.random.uniform(jax.random.PRNGKey(12), (4096, 512, 64))
+    a_bert_dense = a_bert.to_dense()
 
     def bert_fold_step(x):
         y = ts.spmm(a_bert, x, method="tiled")
         return y / (1.0 + jnp.abs(y).max())
 
+    def bert_dense_step(x):
+        y = ts_dense_matmul(a_bert_dense, x)  # matched 3-pass fp32 mode
+        return y / (1.0 + jnp.abs(y).max())
+
     t_fold = device_time_per_iter(bert_fold_step, b4, iters_lo=2, iters_hi=6)
+    t_bdense = device_time_per_iter(bert_dense_step, b4, iters_lo=2, iters_hi=6)
+    routed_bert = _route_spmm(a_bert, b4, None)
+    # min traffic for ANY executor of this product: stream B in + C out once
+    bound_bert = 2.0 * b4.size * 4 / hbm_bw
     details["batched_spmm_bert4d"] = {
         "batch": 4096,
         "fold_ms": t_fold * 1e3,
+        "dense_ms": t_bdense * 1e3,
+        "dense_over_fold": t_bdense / t_fold,
+        "routed_method": routed_bert,
+        "traffic_bound_ms": bound_bert * 1e3,
         # the replaced lax.map path measured 20.8 ms same-session when the
         # fold landed (2.1x, RESULTS.md r3); compiling a 4096-length scan
         # every round just to re-time the old path blew the bench budget
         "lax_map_ms_r3_record": 20.81,
+    }
+
+    # ---- detail: batched sparse, block-sparse pattern (the fold's win case) -
+    # A (2048, 2048) with 10% of 128² blocks x B (32, 2048, 512): folded
+    # width 16384 — the executor regime the fold exists for. Same matched
+    # 3-pass protocol; the roofline is the same B+C stream bound.
+    a_bb = block_sparse_csr(21, (2048, 2048), (128, 128), 0.10)
+    b3 = jax.random.uniform(jax.random.PRNGKey(22), (32, 2048, 512))
+    a_bb_dense = a_bb.to_dense()
+
+    def bb_fold_step(x):
+        y = ts.spmm(a_bb, x, method="tiled")
+        return y / (1.0 + jnp.abs(y).max())
+
+    def bb_dense_step(x):
+        y = ts_dense_matmul(a_bb_dense, x)
+        return y / (1.0 + jnp.abs(y).max())
+
+    t_bbfold = device_time_per_iter(bb_fold_step, b3, iters_lo=2, iters_hi=6)
+    t_bbdense = device_time_per_iter(bb_dense_step, b3, iters_lo=2, iters_hi=6)
+    out_bb = np.asarray(ts.spmm(a_bb, b3, method="tiled"))
+    ref_bb = np.asarray(
+        jnp.matmul(a_bb_dense, b3, precision=jax.lax.Precision.HIGHEST)
+    )
+    rel_bb = float(
+        np.abs(out_bb - ref_bb).max() / max(np.abs(ref_bb).max(), 1.0)
+    )
+    assert rel_bb < 5e-3, f"batched block-sparse parity failure: {rel_bb}"
+    bound_bb = 2.0 * b3.size * 4 / hbm_bw
+    details["batched_spmm_blocksparse"] = {
+        "batch": 32,
+        "folded_n": 32 * 512,
+        "fold_ms": t_bbfold * 1e3,
+        "dense_ms": t_bbdense * 1e3,
+        "speedup": t_bbdense / t_bbfold,
+        "routed_method": _route_spmm(a_bb, b3, None),
+        "traffic_bound_ms": bound_bb * 1e3,
+        "fold_vs_bound": t_bbfold / bound_bb,
+        "rel_err": rel_bb,
     }
 
     # merge-preserve: other benchmarks (AMG, DIA, ...) record their own
