@@ -141,6 +141,127 @@ class _HybridOp:
         return dia_y + ops.spmm(self.rem, x, method="gather")
 
 
+class _HostPattern:
+    """Host CSR triple as hashable pytree AUX (id-hash, like plans)."""
+
+    def __init__(self, indptr, indices, data, shape):
+        self.indptr = np.asarray(indptr)
+        self.indices = np.asarray(indices)
+        self.data = np.asarray(data)
+        self.shape = tuple(shape)
+
+    def to_dense(self):
+        m, k = self.shape
+        out = np.zeros((m, k), self.data.dtype)
+        rows = np.repeat(np.arange(m), np.diff(self.indptr))
+        out[rows, self.indices] = self.data
+        return out
+
+
+@dataclass
+class _RoutedCSR:
+    """CSR applied through a SETUP-RESOLVED executor.
+
+    When the hierarchy rides as a jit ARGUMENT (the literal-free form —
+    the only one the tunnel can compile past ~100 MB of level data), the
+    pattern leaves are tracers, so ops.spmm's router falls back to the
+    in-trace gather floor: measured 85 ms/iter on laplace3d_64 AMG-CG vs
+    ~24 with the executors this container resolves ONCE at setup, where
+    the pattern is concrete. Stores exactly what the chosen executor
+    needs as pytree leaves:
+      'blocks' — inspector plan (aux) + packed ELL values (leaf);
+      'gather' — values + column indices + HOST-expanded sorted row ids
+                 (the jittable searchsorted expansion the traced path
+                 would otherwise re-run per matvec);
+      'dense'  — the dense operand (latency-class small levels);
+      'op'     — a (Packed)DIA the router promoted.
+    """
+
+    kind: str
+    shape: Tuple[int, int]
+    nnz: int = 0
+    plan: object = None       # aux ('blocks')
+    host: object = None       # aux: _HostPattern (introspection/tests)
+    bv: object = None         # leaf ('blocks')
+    dense: object = None      # leaf ('dense')
+    data: object = None       # leaf ('gather')
+    indices: object = None    # leaf ('gather')
+    rows: object = None       # leaf ('gather')
+    op: object = None         # leaf subtree ('op': DIA / PackedDIA)
+
+    def mv(self, x):
+        one_d = x.ndim == 1
+        x2 = x[:, None] if one_d else x
+        if self.kind == "blocks":
+            y = ops.spmm_blocks(self.plan, self.bv, x2)
+        elif self.kind == "dense":
+            from tpusparse import dense as _dense
+
+            y = _dense.matmul(self.dense, x2)
+        elif self.kind == "op":
+            y = _op_mv(self.op, x2)
+        else:  # gather
+            g = self.data[:, None] * x2[self.indices, :]
+            y = jax.ops.segment_sum(
+                g, self.rows, num_segments=self.shape[0],
+                indices_are_sorted=True,
+            )
+        return y[:, 0] if one_d else y
+
+    def to_dense(self):  # test/introspection parity with CSR
+        return jnp.asarray(self.host.to_dense())
+
+
+def _routed_csr(ip, ix, d, shape, dtype) -> "_RoutedCSR":
+    """Resolve a CSR's executor at setup (concrete pattern) — see
+    _RoutedCSR. `ip`/`ix`/`d` are host numpy."""
+    from tpusparse.plan import build_plan
+
+    ip = np.asarray(ip)
+    ix = np.asarray(ix)
+    d = np.asarray(d).astype(dtype)
+    m, k = shape
+    host = _HostPattern(ip, ix, d, shape)
+    csr = CSR(
+        data=jnp.asarray(d), indices=np.asarray(ix, np.int32),
+        indptr=np.asarray(ip, np.int32), shape=shape,
+    )
+    probe = np.zeros((k, 1), np.float32)
+    try:
+        method = ops._route_spmm(csr, probe, None)
+    except Exception:
+        method = "gather"
+    nnz = int(ip[-1])
+    if method == "dense" and m * k * 4 <= 128e6:
+        return _RoutedCSR(
+            kind="dense", shape=shape, nnz=nnz, host=host,
+            dense=jnp.asarray(host.to_dense()),
+        )
+    if method == "dia":
+        from tpusparse.kernels.dia import pack_dia_operator
+        from tpusparse.types import csr_to_dia
+
+        dia = csr_to_dia(csr)
+        op = (
+            pack_dia_operator(dia.data, np.asarray(dia.offsets), shape)
+            if np.asarray(dia.offsets).size > 128
+            else dia
+        )
+        return _RoutedCSR(kind="op", shape=shape, nnz=nnz, host=host, op=op)
+    if method in ("tiled", "resident", "naive", "reference"):
+        plan = build_plan(csr)
+        return _RoutedCSR(
+            kind="blocks", shape=shape, nnz=nnz, host=host, plan=plan,
+            bv=plan.pack_values(csr.data),
+        )
+    rows = np.repeat(np.arange(m, dtype=np.int32), np.diff(ip))
+    return _RoutedCSR(
+        kind="gather", shape=shape, nnz=nnz, host=host,
+        data=jnp.asarray(d), indices=jnp.asarray(ix.astype(np.int32)),
+        rows=jnp.asarray(rows),
+    )
+
+
 def _op_mv(a, x):
     """Matvec for a level operator in any of its formats."""
     from tpusparse.kernels.dia import PackedDIA as _PackedDIA
@@ -148,7 +269,7 @@ def _op_mv(a, x):
 
     if isinstance(a, _HybridOp):
         return a.mv(x)
-    if isinstance(a, _PackedDIA):
+    if isinstance(a, (_PackedDIA, _RoutedCSR)):
         return a.mv(x)
     if isinstance(a, _DIA):
         return ops.dia_spmm(a, x)
@@ -212,6 +333,8 @@ class _Level:
     p: Optional[CSR] = None     # prolongator: next-coarser -> this level
     r: Optional[CSR] = None     # restriction = pᵀ
     p_fact: Optional["_FactoredP"] = None  # factored apply (DIA levels)
+    p_op: Optional["_RoutedCSR"] = None  # setup-resolved P apply (CSR lvls)
+    r_op: Optional["_RoutedCSR"] = None  # setup-resolved R apply
 
 
 @dataclass(eq=False)  # id-hashable so jax.jit(M) can cache on the instance
@@ -288,9 +411,18 @@ class AMGPreconditioner:
             ec = self._cycle(i + 1, rc)
             x = x + lvl.p_fact.mv(ec)
         else:
-            rc = ops.spmm(lvl.r, r, method=self.method)
+            rc = (
+                lvl.r_op.mv(r)
+                if lvl.r_op is not None
+                else ops.spmm(lvl.r, r, method=self.method)
+            )
             ec = self._cycle(i + 1, rc)
-            x = x + ops.spmm(lvl.p, ec, method=self.method)
+            pe = (
+                lvl.p_op.mv(ec)
+                if lvl.p_op is not None
+                else ops.spmm(lvl.p, ec, method=self.method)
+            )
+            x = x + pe
         return self._smooth(lvl, b, x, self.postsmooth)
 
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -613,12 +745,10 @@ def smoothed_aggregation_setup(
         split = _route_level(cur_ip, cur_ix, cur_d, n, dtype)
         dia_host = dia_offs = rem_host = None
         if split is None:
-            # CSR level: the smoother runs routed spmm on it — push the
-            # values now (cur_a may carry a lazy host triple, see below)
-            a_level = CSR(
-                data=jnp.asarray(cur_a.data), indices=cur_a.indices,
-                indptr=cur_a.indptr, shape=cur_a.shape,
-            )
+            # CSR level: executor resolved NOW, while the pattern is
+            # concrete (_RoutedCSR docstring — in jit-argument form the
+            # traced pattern would fall to the in-trace gather floor)
+            a_level = _routed_csr(cur_ip, cur_ix, cur_d, (n, n), dtype)
         else:
             dia_host, dia_offs, rem_host = split
             if dia_offs.size > 128:
