@@ -292,3 +292,40 @@ def test_theta_decay_disable_matches_legacy(poisson):
     b = jnp.asarray(rng.normal(size=a.shape[0]).astype(np.float32))
     x, _ = cg(a, b, M=m_fixed, tol=1e-6, maxiter=40)
     assert _resid(a, x, b) < 1e-4
+
+
+def test_routed_csr_level_threads_as_jit_argument():
+    """A hierarchy that provably contains a CSR-routed level (_RoutedCSR)
+    must flatten as a pytree and solve with the preconditioner passed as
+    a JIT ARGUMENT — the literal-free form realmatrix_benchmark times.
+    Unstructured SPD patterns route every level to CSR (r4 advisor repro:
+    unregistered _RoutedCSR raised 'not a valid JAX type' here), and the
+    CSR levels' P/R must ride their setup-resolved executors (p_op/r_op),
+    not the in-trace gather floor."""
+    from tpusparse.amg import _RoutedCSR, smoothed_aggregation_setup
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    g = ssp.random(n, n, density=0.004, random_state=7, format="csr")
+    spd = (g @ g.T).tocsr()
+    spd = (spd + ssp.identity(n) * (np.abs(spd).sum(axis=1).max() + 1.0)).tocsr()
+    spd.sort_indices()
+    a = ts.CSR.from_scipy(spd.astype(np.float32))
+    m = smoothed_aggregation_setup(a, coarse_size=60)
+    routed = [l for l in m.levels if isinstance(l.a, _RoutedCSR)]
+    assert routed, "expected at least one CSR-routed level in this hierarchy"
+    # every non-coarsest CSR level must carry setup-resolved P/R executors
+    for l in m.levels:
+        if isinstance(l.a, _RoutedCSR) and l.p is not None and l.p_fact is None:
+            assert l.p_op is not None and l.r_op is not None
+    # pytree round-trip preserves the executor kinds
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert [type(l.a).__name__ for l in m2.levels] == [
+        type(l.a).__name__ for l in m.levels
+    ]
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    solve = jax.jit(lambda M_, r: cg(a, r, tol=1e-8, maxiter=50, M=M_)[0])
+    x = np.asarray(solve(m, b))
+    r = np.asarray(b) - spd.astype(np.float64) @ np.asarray(x, np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4

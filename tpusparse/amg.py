@@ -548,12 +548,25 @@ def _register(cls, leaf_fields, aux_fields):
 
 
 _register(_HybridOp, ("dia", "rem"), ("shape",))
+# plan rides as a LEAF subtree (Plan is itself a registered pytree whose
+# aux keeps the static geometry); host (_HostPattern) is id-hash aux like
+# plans. Without this registration any hierarchy holding a CSR-routed
+# level raised TypeError when passed as a jit argument (r4 advisor, high).
+_register(
+    _RoutedCSR,
+    ("bv", "dense", "data", "indices", "rows", "op", "plan"),
+    ("kind", "shape", "nnz", "host"),
+)
 _register(
     _FactoredP,
     ("agg", "w", "dinv_a", "dinv_a_t"),
     ("omega", "shape", "gplan", "splan"),
 )
-_register(_Level, ("a", "dinv", "p", "r", "p_fact"), ("nnz", "rho"))
+_register(
+    _Level,
+    ("a", "dinv", "p", "r", "p_fact", "p_op", "r_op"),
+    ("nnz", "rho"),
+)
 _register(
     AMGPreconditioner,
     ("levels", "coarse_lu"),
@@ -911,17 +924,23 @@ def smoothed_aggregation_setup(
                 gplan=gplan,
                 splan=splan,
             )
-        # P/R pushes: factored levels never touch lvl.p/lvl.r in the
-        # V-cycle (p_fact serves both directions), so keep their values
-        # HOST-side there. These were the largest arrays in the
-        # hierarchy, and host->device pushes ride the ~25 ms-latency
-        # tunnel: the laplace2d_1024 setup measured 112 s on-TPU vs
-        # 6.3 s forced-CPU with all pushes in (r4) — transfer, not
-        # compute, is the setup cost, and the windowed planner the r3
-        # verdict suspected measures 0.16 s of it.
-        push = (lambda v: jnp.asarray(v)) if dia_host is None else (
-            lambda v: v
-        )
+        else:
+            # CSR level: resolve the P/R executors NOW, while their
+            # patterns are concrete — in jit-argument form (the only one
+            # the tunnel compiles past ~100 MB of level data) the traced
+            # patterns would fall to the in-trace gather floor, exactly
+            # the regression _RoutedCSR documents for the level operator.
+            lvl.p_op = _routed_csr(p_ip, p_ix, p_d, (n, n_agg), dtype)
+            lvl.r_op = _routed_csr(r_ip, r_ix, r_d, (n_agg, n), dtype)
+        # P/R pushes: the V-cycle never touches lvl.p/lvl.r directly
+        # (p_fact serves DIA levels both directions; p_op/r_op serve CSR
+        # levels), so keep their values HOST-side everywhere. These were
+        # the largest arrays in the hierarchy, and host->device pushes
+        # ride the ~25 ms-latency tunnel: the laplace2d_1024 setup
+        # measured 112 s on-TPU vs 6.3 s forced-CPU with all pushes in
+        # (r4) — transfer, not compute, is the setup cost, and the
+        # windowed planner the r3 verdict suspected measures 0.16 s of it.
+        push = lambda v: v  # noqa: E731
         lvl.p = CSR(
             data=push(p_d.astype(dtype)),
             indices=p_ix, indptr=p_ip, shape=(n, n_agg),
