@@ -230,6 +230,15 @@ def main():
             )
         except Exception:
             continue  # Mosaic reject under this session's VMEM pressure
+    if not tile_times:  # every shortlisted tile rejected this session:
+        # fall back to the default-tile path so the bench still completes
+        tile_times[(None, None, None)] = device_time_per_iter(
+            lambda x: norm(
+                gemm_pallas(x, x, precision="default",
+                            out_dtype=jnp.bfloat16).astype(jnp.float32)
+            ).astype(jnp.bfloat16),
+            x0, iters_lo=2, iters_hi=6,
+        )
     best_tile = min(tile_times, key=tile_times.get)
     t_gemm = tile_times[best_tile]
     details["gemm_pallas_bf16_4096_tflops"] = 2.0 * 4096**3 / t_gemm / 1e12
@@ -249,7 +258,7 @@ def main():
         "session_best_tile": list(best_tile),
         "vs_xla": t_xla / t_gemm,
     }
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and best_tile[0] is not None:
         save_gemm_tile(_tile_key(4096, 4096, 4096, "bfloat16"), best_tile)
 
     # ---- detail: BERT-attention layer step time (seq 512, batch 8) ----------
@@ -295,6 +304,27 @@ def main():
     fl = SelfAttention(num_heads=12, head_dim=64, fused=True)
     set_config(precision="default")
     try:
+        # Flash tile revalidation (the GEMM pattern, r4 verdict #2): tuned
+        # tiles die with the container, so the driver's row rode (512,512)
+        # — 1.26 ms where the r4-tuned (512,2048) measured 0.62. Re-time
+        # the default-class tile against the old default IN-SESSION; the
+        # winner lands in the in-process tile cache (and calibration.json)
+        # before fl.apply resolves its blocks.
+        if jax.default_backend() == "tpu":
+            from tpusparse.kernels.flash_attention import autotune_flash
+
+            try:
+                fl_tile, _fl_t = autotune_flash(
+                    seq, 64, 12, dtype=jnp.float32, precision="default",
+                    repeats=1, save=True, verbose=False,
+                    candidates=[(512, 2048), (512, 512)],
+                )
+                details["flash_tile_revalidation"] = {
+                    "session_best_tile": list(fl_tile),
+                    "bare_kernel_ms": _fl_t * 1e3,
+                }
+            except Exception as e:
+                details["flash_tile_revalidation"] = {"error": str(e)[:120]}
         t_fl = device_time_per_iter(
             lambda v: norm(fl.apply(aparams, v)), xl, iters_lo=2, iters_hi=6
         )
@@ -445,9 +475,12 @@ def main():
     }
 
     # ---- detail: batched sparse, block-sparse pattern (the fold's win case) -
-    # A (2048, 2048) with 10% of 128² blocks x B (32, 2048, 512): folded
-    # width 16384 — the executor regime the fold exists for. Same matched
-    # 3-pass protocol; the roofline is the same B+C stream bound.
+    # A (2048, 2048) with 10% of 128² blocks x B (32, 2048, 512). r5: the
+    # batch rides the GRID of the batched resident executor (whole vals
+    # array VMEM-resident, no fold transposes — ops._batched_resident_ok);
+    # same matched 3-pass protocol; the roofline is the same B+C stream
+    # bound. Remaining gap to the bound is 3-pass slot issue (the bf16
+    # tier of the same kernel measured 2.96x vs fp32's 3.9x in-session).
     a_bb = block_sparse_csr(21, (2048, 2048), (128, 128), 0.10)
     b3 = jax.random.uniform(jax.random.PRNGKey(22), (32, 2048, 512))
     a_bb_dense = a_bb.to_dense()
@@ -471,9 +504,16 @@ def main():
     )
     assert rel_bb < 5e-3, f"batched block-sparse parity failure: {rel_bb}"
     bound_bb = 2.0 * b3.size * 4 / hbm_bw
+    from tpusparse.ops import _batched_resident_ok
+    from tpusparse.plan import build_plan as _bp
+
     details["batched_spmm_blocksparse"] = {
         "batch": 32,
-        "folded_n": 32 * 512,
+        "executor": (
+            "batched_resident"
+            if _batched_resident_ok(_bp(a_bb), b3)
+            else "folded"
+        ),
         "fold_ms": t_bbfold * 1e3,
         "dense_ms": t_bbdense * 1e3,
         "speedup": t_bbdense / t_bbfold,

@@ -86,6 +86,7 @@ def main():
     def norm(y):
         return y / (1.0 + jnp.abs(y).max())
 
+    all_recs = {}
     for seq in [int(s) for s in args.seqs.split(",")]:
         x = jax.random.normal(jax.random.PRNGKey(5), (1, seq, width))
         bb = BigBirdAttention(
@@ -155,7 +156,35 @@ def main():
             ) * 1e3
         finally:
             set_config(precision=prev_precision)
+        # record the flash blocks the timing actually ran (tiles persisted
+        # by a previous autotune die with the container — the r4 verdict's
+        # 1.26-vs-0.62 ms trap — so the artifact must say which ran)
+        from tpusparse.kernels.flash_attention import _resolve_flash_blocks
+
+        rec["flash_blocks"] = list(
+            _resolve_flash_blocks((h, seq, hd), jnp.float32, False,
+                                  "default", None, None)
+        )
         log_and_print(logger, json.dumps(rec))
+        all_recs[f"seq{seq}"] = rec
+
+    # merge into BENCH_DETAILS.json under a ROUND-STAMPED key so the
+    # driver-facing record is never silently stale (r4 verdict #6/#7)
+    import os
+
+    details = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAILS.json",
+    )
+    stamp = os.environ.get("TPUSPARSE_BENCH_STAMP", "r5")
+    try:
+        with open(details) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged[f"{stamp}_longcontext"] = all_recs
+    with open(details, "w") as f:
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":

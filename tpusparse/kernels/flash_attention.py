@@ -341,7 +341,14 @@ def _resolve_flash_blocks(shape, dtype, causal, precision, block_q, block_k):
     hit = _FLASH_TILE_CACHE.get(
         _flash_tile_key(bh, s, d, jnp.dtype(dtype).name, causal, precision)
     )
-    tq, tk = (int(hit[0]), int(hit[1])) if hit else (512, 512)
+    # No-calibration default is the WIDE-K class: (512, 2048) won the r4
+    # autotune at BOTH seq 4096 and 8192 (1.8x over (512, 512) at 8192 —
+    # wide k-blocks amortize the online-softmax rescale), and
+    # calibration.json does not survive driver rounds (fresh container),
+    # so the uncalibrated default is what external harnesses actually
+    # time. _flash_fwd caps both blocks at the padded seq, so small
+    # sequences degrade gracefully to a single k-block.
+    tq, tk = (int(hit[0]), int(hit[1])) if hit else (512, 2048)
     return int(block_q or tq), int(block_k or tk)
 
 
@@ -370,10 +377,16 @@ def autotune_flash(
     repeats: int = 2,
     save: bool = True,
     verbose: bool = True,
+    candidates=None,
 ):
     """Sweep block_q/block_k for this attention shape on the local chip
     and persist the winner; subsequent flash_attention calls at the shape
-    pick it up automatically. Returns ((bq, bk), seconds_per_call)."""
+    pick it up automatically. Returns ((bq, bk), seconds_per_call).
+
+    `candidates` (None = the full `_flash_tile_candidates` grid) lets
+    budget-bound harnesses revalidate a shortlist in-session — bench.py
+    re-times the default-class tile against (512, 512) each driver round
+    because persisted calibration dies with the container."""
     import numpy as np
 
     from tpusparse.utils.timing import device_time_per_iter
@@ -389,7 +402,13 @@ def autotune_flash(
     q, k, v = mk(0), mk(1), mk(2)
 
     best, best_t = None, float("inf")
-    for bq, bk in _flash_tile_candidates(seq):
+    sp = round_up(seq, 128)
+    cands = []
+    for bq, bk in candidates or _flash_tile_candidates(seq):
+        t = (min(int(bq), sp), min(int(bk), sp))
+        if t not in cands:
+            cands.append(t)
+    for bq, bk in cands:
         def step(x, bq=bq, bk=bk):
             y = flash_attention(
                 x, k, v, causal=causal, block_q=bq, block_k=bk,
