@@ -404,6 +404,208 @@ def _resident_spmm_pallas_jit(
 
 
 # -----------------------------------------------------------------------------
+# Batched resident executor — 3-D B (batch, k, n) WITHOUT the column fold.
+# The fold's (k, batch·n) transpose copies cost real HBM passes (measured
+# 0.65 ms of the r4 batch-32 block-sparse row's 1.89 ms), so batch rides
+# the GRID instead and B slabs DMA straight from their (batch, k, n)
+# layout. The whole packed-vals array is VMEM-resident (its BlockSpec
+# index never moves, so Mosaic fetches it ONCE per launch) — the 2-D
+# resident kernel re-streams vals once per n-tile, which the fold turns
+# into once per (batch · n-tile): 5.2 MB × 32 = 166 MB of the same bytes
+# on that row. Reference analog: the batched naive workload
+# (tests/naive_kernel_test.py:66-68) at roofline standards.
+# -----------------------------------------------------------------------------
+
+
+def _resident_batched_kernel(
+    cols_ref,  # (nbr*L,) int32, SMEM (scalar prefetch)
+    nslots_ref,  # (nbr,) int32, SMEM (scalar prefetch)
+    vals_ref,  # (nbr, L, bm, bk) VMEM — WHOLE packed vals, resident
+    b_hbm,  # (batch, kp, np) in ANY/HBM
+    o_ref,  # (1, bm, bn) VMEM block
+    bcache,  # (kp, bn) VMEM scratch — resident B panel for this (g, j)
+    sem,  # DMA semaphore
+    *,
+    ell_width: int,
+    bn: int,
+    precision,
+    unroll: int = 4,
+):
+    # Grid is (batch, n-tile, row-block), i innermost. A fused variant
+    # that swept all row-blocks inside one (g, j) cell (dynamic-sublane
+    # stores into a (nbr·bm, bn) out block) measured consistently SLOWER
+    # (1.57/1.34 ms vs 1.28/0.97 fp32/bf16 on the bench batch-32 row):
+    # the per-row-block grid lets Mosaic pipeline out-block write-backs
+    # against the next cell's compute, which the in-kernel loop serialized.
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    kp = bcache.shape[0]
+    nvalid = nslots_ref[i]
+
+    # land this batch element's n-panel before its first row-block (i is
+    # the innermost grid dim, so i==0 opens every (g, j) panel)
+    @pl.when(i == 0)
+    def _():
+        copy = pltpu.make_async_copy(
+            b_hbm.at[g, pl.ds(0, kp), pl.ds(j * bn, bn)], bcache, sem
+        )
+        copy.start()
+        copy.wait()
+
+    def consume(l, acc):
+        col = cols_ref[i * ell_width + l]
+        bk = vals_ref.shape[3]
+        return acc + mxu.dot(
+            vals_ref[i, l], bcache[pl.ds(col * bk, bk), :], precision
+        )
+
+    def bodyU(t, acc):
+        for u in range(unroll):
+            acc = consume(t * unroll + u, acc)
+        return acc
+
+    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
+    acc = jax.lax.fori_loop(0, nvalid // unroll, bodyU, acc)
+    acc = jax.lax.fori_loop((nvalid // unroll) * unroll, nvalid, consume, acc)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def resident_batched_vmem_bytes(plan: Plan, b_itemsize: int, bn: int) -> int:
+    """VMEM footprint of the batched resident executor: panel + the
+    WHOLE resident vals array + the double-buffered full-row out block."""
+    bm, bk = plan.blocksize
+    kp = plan.num_col_blocks * bk
+    return (
+        kp * bn * b_itemsize
+        + plan.num_slots * bm * bk * 4
+        + 2 * bm * bn * 4
+    )
+
+
+def resident_spmm_batched_pallas(
+    plan: Plan,
+    block_vals: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_n: int | None = None,
+    out_dtype=None,
+    precision: str | None = None,
+    unroll: int = 4,
+) -> jnp.ndarray:
+    """C[g] = A @ B[g] for 3-D B (batch, k, n), batch on the grid.
+
+    Same (plan, packed values) contract and slot order as the 2-D
+    executors. Raises if panel + whole-vals exceed the VMEM budget —
+    callers route (ops._batched_resident_ok)."""
+    m, k = plan.shape
+    bm, bk = plan.blocksize
+    if b.ndim != 3 or b.shape[1] != k:
+        raise ValueError(f"b shape {b.shape} incompatible with plan k={k}")
+    batch, _, n = b.shape
+    cfg = get_config()
+    bn = min(block_n or cfg.spmm_block_n, round_up(n, 128))
+    est = resident_batched_vmem_bytes(plan, b.dtype.itemsize, bn)
+    if est > cfg.vmem_limit_bytes:
+        raise ValueError(
+            f"batched resident executor needs ~{est >> 20} MiB VMEM "
+            f"(limit {cfg.vmem_limit_bytes >> 20} MiB); fold + ELL ring "
+            "instead"
+        )
+    return _resident_batched_jit(
+        plan, block_vals, b, block_n=bn, out_dtype=out_dtype,
+        precision=precision or get_config().precision, unroll=unroll,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "out_dtype", "precision", "unroll"),
+)
+def _resident_batched_jit(
+    plan: Plan,
+    block_vals: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    block_n: int,
+    out_dtype,
+    precision: str | None,
+    unroll: int = 4,
+) -> jnp.ndarray:
+    m, k = plan.shape
+    bm, bk = plan.blocksize
+    batch, _, n = b.shape
+    cfg = get_config()
+    out_dtype = out_dtype or jnp.result_type(block_vals.dtype, b.dtype)
+    bn = block_n
+    kp = plan.num_col_blocks * bk
+    np_ = round_up(n, bn)
+    if (kp, np_) != b.shape[1:]:
+        b = jnp.pad(b, ((0, 0), (0, kp - k), (0, np_ - n)))
+
+    nbr = plan.num_row_blocks
+    L = plan.ell_width
+    grid = (batch, np_ // bn, nbr)
+
+    resolved = pallas_precision(precision)
+    kernel = functools.partial(
+        _resident_batched_kernel, ell_width=L, bn=bn, precision=resolved,
+        unroll=unroll,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            # whole vals array, block index pinned -> fetched once
+            pl.BlockSpec(
+                (nbr, L, bm, bk),
+                lambda g, j, i, cols, nslots: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bm, bn),
+            lambda g, j, i, cols, nslots: (g, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kp, bn), b.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, nbr * bm, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            # bcache persists across i; vals residency relies on the
+            # pinned block index — no reordering
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_slots * bm * bk * np_ * batch,
+            bytes_accessed=(
+                plan.num_slots * bm * bk
+                + batch * (kp * np_ + nbr * bm * np_)
+            )
+            * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(
+        plan.block_cols.reshape(-1),
+        plan.nslots,
+        block_vals.reshape(nbr, L, bm, bk),
+        b,
+    )
+
+    return out[:, :m, :n]
+
+
+# -----------------------------------------------------------------------------
 # int8 resident executor — the quantized-serving variant of the resident
 # kernel (w8a8): A blocks are per-block symmetric int8 (one f32 scale per
 # ELL slot), B is per-column symmetric int8, each slot runs ONE s8×s8→s32
