@@ -180,7 +180,8 @@ def main():
             merged = json.load(f)
     except (OSError, ValueError):
         merged = {}
-    merged["r4_gpt_serving"] = rec_all
+    stamp = os.environ.get("TPUSPARSE_BENCH_STAMP", "r5")
+    merged[f"{stamp}_gpt_serving"] = rec_all
     with open(details, "w") as f:
         json.dump(merged, f, indent=2)
 

@@ -75,8 +75,12 @@ def test_generate_jits_and_is_deterministic(small):
 
 def test_quantized_weights_are_int8(small):
     _, _, _, qm = small
-    assert qm.blocks[0].q.qw.dtype == jnp.int8
-    assert qm.blocks[0].q.qw.shape == (64, 64)  # (in, out)
+    # r5: single-device blocks carry the FUSED [q|k|v] projection (one
+    # weight stream per decode step); the TP path slices q/k/v back out
+    blk = qm.blocks[0]
+    assert blk.q is None and blk.k is None and blk.v is None
+    assert blk.qkv.qw.dtype == jnp.int8
+    assert blk.qkv.qw.shape == (64, 3 * 64)  # (in, 3·out)
     assert qm.lm_head.qw.shape == (64, 50)
     assert qm.tok_emb.dtype == jnp.bfloat16
 

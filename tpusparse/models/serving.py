@@ -61,8 +61,15 @@ class _QLinear:
 
     def __call__(self, x):
         # batch-1 decode is weight-traffic-bound: stream int8, convert
-        # fused into the bf16 dot (the MXU is idle at these widths; the
-        # s8 GEMM kernel wins only on wide panels — see module docstring)
+        # fused into the bf16 dot. MEASURED (r5, v5e): this path IS at
+        # the int8 byte bound — a stripped all-linears decode step runs
+        # 0.527 ms/step vs the 0.492 ms int8 weight stream (368M params),
+        # and the compiled scan carries no hoisted bf16 weight copy
+        # (memory_analysis temps 64 MB). A Pallas int8-stream kernel tied
+        # at ≤4 MB weights and LOST 1.5x at 50 MB (VPU convert serializes
+        # against the MXU) — rejected. The step's remaining gap to the
+        # weight bound is per-layer attention/bookkeeping math (~9.5 µs x
+        # 24 layers, benchmarks/RESULTS.md r5), not weight traffic.
         y = jnp.dot(
             x.astype(jnp.bfloat16),
             self.qw.astype(jnp.bfloat16),
@@ -82,6 +89,13 @@ class _QBlock:
     o: _QLinear
     fc1: _QLinear
     fc2: _QLinear
+    # fused [q|k|v] projection (in, 3h): single-device decode streams ONE
+    # weight instead of three 1 MB-class dots — per-dot fixed cost, not
+    # convert traffic, is the batch-1 gap (r5 measured: XLA convert+dot
+    # already hits the int8 byte bound per dot). None under tensor
+    # parallelism (parallel/serving.shard_qgpt splits it back into
+    # q/k/v, whose out features shard by head).
+    qkv: "_QLinear | None" = None
 
 
 def _ln(x, p, eps=1e-6):
@@ -131,6 +145,19 @@ class QuantizedGPT:
         b, h, s, d = x.shape
         return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
+    def _qkv(self, blk, h):
+        """Per-head (q, k, v) from the fused projection when present
+        (one weight stream), else the three separate linears (TP form)."""
+        if blk.qkv is not None:
+            h3 = blk.qkv(h)
+            H = self.hidden
+            return (
+                self._split(h3[..., :H]),
+                self._split(h3[..., H : 2 * H]),
+                self._split(h3[..., 2 * H :]),
+            )
+        return tuple(self._split(f(h)) for f in (blk.q, blk.k, blk.v))
+
     def _embed(self, ids, pos0=0):
         pos = pos0 + jnp.arange(ids.shape[1])
         return (
@@ -150,9 +177,7 @@ class QuantizedGPT:
         cache = []
         for blk in self.blocks:
             h = _ln(x, blk.ln1)
-            q, k, v = (
-                self._split(f(h)) for f in (blk.q, blk.k, blk.v)
-            )
+            q, k, v = self._qkv(blk, h)
             kq, ks, vq, vs = quantize_kv(k, v)
             pad = ((0, 0), (0, 0), (0, L - s), (0, 0))
             cache.append(
@@ -180,9 +205,7 @@ class QuantizedGPT:
         new_cache = []
         for blk, (kq, ks, vq, vs) in zip(self.blocks, cache):
             h = _ln(x, blk.ln1)
-            q, k, v = (
-                self._split(f(h)) for f in (blk.q, blk.k, blk.v)
-            )
+            q, k, v = self._qkv(blk, h)
             # quantize the new token into the prefill scales (clipped:
             # the serving contract accepts the prefill range as the
             # cache's dynamic range)
@@ -262,16 +285,30 @@ def quantize_gpt(model: GPTDecoder, params) -> QuantizedGPT:
     blocks = []
     for i in range(model.num_layers):
         bp = p[f"block{i}"]
+        q, k, v = (
+            _q_linear(bp[f"{nm}_proj"]) for nm in ("q", "k", "v")
+        )
+        # fused [q|k|v] stream for single-device decode; per-channel
+        # scales concatenate exactly, so numerics are identical to the
+        # separate projections. q/k/v stay None — parallel/serving's
+        # shard_qgpt slices them back out of the fused weight when a
+        # tensor-parallel mesh needs per-head column sharding.
+        qkv = _QLinear(
+            qw=jnp.concatenate([q.qw, k.qw, v.qw], axis=1),
+            sw=jnp.concatenate([q.sw, k.sw, v.sw]),
+            b=jnp.concatenate([q.b, k.b, v.b]),
+        )
         blocks.append(
             _QBlock(
                 ln1=_ln_params(bp["ln1"]),
                 ln2=_ln_params(bp["ln2"]),
-                q=_q_linear(bp["q_proj"]),
-                k=_q_linear(bp["k_proj"]),
-                v=_q_linear(bp["v_proj"]),
+                q=None,
+                k=None,
+                v=None,
                 o=_q_linear(bp["o_proj"]),
                 fc1=_q_linear(bp["fc1"]),
                 fc2=_q_linear(bp["fc2"]),
+                qkv=qkv,
             )
         )
     return QuantizedGPT(
@@ -296,7 +333,7 @@ jax.tree_util.register_pytree_node(
 
 
 def _flatten_qblk(b):
-    return (b.ln1, b.ln2, b.q, b.k, b.v, b.o, b.fc1, b.fc2), None
+    return (b.ln1, b.ln2, b.q, b.k, b.v, b.o, b.fc1, b.fc2, b.qkv), None
 
 
 jax.tree_util.register_pytree_node(

@@ -46,11 +46,44 @@ def _qlin_spec(lin: _QLinear, col: bool, model_axis: str, tp: int) -> _QLinear:
     return _QLinear(qw=P(), sw=P(), b=P())
 
 
+def _split_qkv(qm: QuantizedGPT) -> QuantizedGPT:
+    """Undo the single-device fused [q|k|v] projection: a fused out axis
+    column-sharded over `model` would interleave q/k/v slices across
+    devices, so TP wants the three per-head-shardable linears back. The
+    fused layout is an exact concatenation — slicing reproduces the
+    original quantized weights bit-for-bit."""
+    blocks = []
+    for blk in qm.blocks:
+        if blk.qkv is None:
+            blocks.append(blk)
+            continue
+        H = blk.qkv.qw.shape[1] // 3
+        q, k, v = (
+            _QLinear(
+                qw=blk.qkv.qw[:, i * H : (i + 1) * H],
+                sw=blk.qkv.sw[i * H : (i + 1) * H],
+                b=blk.qkv.b[i * H : (i + 1) * H],
+            )
+            for i in range(3)
+        )
+        blocks.append(
+            _QBlock(ln1=blk.ln1, ln2=blk.ln2, q=q, k=k, v=v, o=blk.o,
+                    fc1=blk.fc1, fc2=blk.fc2, qkv=None)
+        )
+    return QuantizedGPT(
+        blocks=tuple(blocks), tok_emb=qm.tok_emb, pos_emb=qm.pos_emb,
+        final_ln=qm.final_ln, lm_head=qm.lm_head,
+        num_heads=qm.num_heads, max_position=qm.max_position,
+    )
+
+
 def qgpt_param_specs(
     qm: QuantizedGPT, model_axis: str = "model", tp: int = 1
 ):
     """A QuantizedGPT-shaped pytree of PartitionSpecs (Megatron style).
-    `tp` = size of the model axis (for divisibility fallbacks)."""
+    `tp` = size of the model axis (for divisibility fallbacks). Fused
+    models are split first so the spec tree matches `_split_qkv` form."""
+    qm = _split_qkv(qm)
     rep2 = (P(), P())
     blocks = tuple(
         _QBlock(
@@ -62,6 +95,7 @@ def qgpt_param_specs(
             o=_qlin_spec(blk.o, False, model_axis, tp),
             fc1=_qlin_spec(blk.fc1, True, model_axis, tp),
             fc2=_qlin_spec(blk.fc2, False, model_axis, tp),
+            qkv=None,
         )
         for blk in qm.blocks
     )
@@ -85,6 +119,7 @@ def shard_qgpt(qm: QuantizedGPT, mesh: Mesh, model_axis: str = "model"):
         raise ValueError(
             f"num_heads {qm.num_heads} must divide over model axis {tp}"
         )
+    qm = _split_qkv(qm)
     specs = qgpt_param_specs(qm, model_axis, tp)
     shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), specs,
