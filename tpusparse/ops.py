@@ -1080,7 +1080,42 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
     nblocks = int(np.unique((rows // bm) * nbc + indices // bk).size)
     nnz = int(indices.shape[0])
 
-    t_gather = nnz * max(n * 8.0 / _COST["gather_row_bw"], _COST["gather_per_nnz_floor"])
+    # A 3-D b that cannot take the batch-grid resident executor FOLDS
+    # batch into columns — two transpose copies (B in, C out) that the
+    # r4 bench decomposition measured at their HBM cost (0.65 ms for a
+    # 256 MB B; bert4d's folded 1.07 GB B made the router prefer tiled
+    # where dense measured 1.17x faster). Dense never folds (XLA batches
+    # dot_general natively); gather folds the same way.
+    from tpusparse.kernels.tiled_spmm import resident_batched_vmem_bytes
+    from tpusparse.utils.config import round_up as _ru
+
+    fold_copy_s = 0.0
+    if b.ndim == 3:
+        n_elem = int(b.shape[-1])
+        bn_e = min(cfg.spmm_block_n, _ru(n_elem, 128))
+
+        class _BStats:  # resident_batched_vmem_bytes reads these fields
+            blocksize = (bm, bk)
+            num_col_blocks = nbc
+            num_row_blocks = (m + bm - 1) // bm
+            # ELL padding unknown pre-plan; nblocks lower-bounds num_slots
+            num_slots = nblocks
+
+        batched_ok = (
+            nblocks >= nbc
+            and _ru(n_elem, 128) >= 256
+            and resident_batched_vmem_bytes(_BStats, 4, bn_e)
+            <= cfg.vmem_limit_bytes
+        )
+        if not batched_ok:
+            fold_copy_s = (
+                2.0 * (k * n + m * n) * 4.0 / _ROOFLINE["hbm_bandwidth"]
+            )
+
+    t_gather = (
+        nnz * max(n * 8.0 / _COST["gather_row_bw"], _COST["gather_per_nnz_floor"])
+        + fold_copy_s
+    )
     # the tiled path upgrades to the resident executor when the B panel
     # fits VMEM AND the pattern re-uses it; B traffic is then one panel
     # (k rows) per n-tile instead of one (bk, n) tile per occupied block
@@ -1104,6 +1139,7 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
             nblocks * _COST["tiled_slot_overhead"] * max(n // 512, 1),
         )
         + nnz * _COST["pack_per_nnz"]
+        + fold_copy_s
     )
     t_dense = (
         max(
