@@ -502,10 +502,11 @@ def spgemm(
 ) -> CSR:
     """Sparse × sparse matmul: returns C = A @ B as CSR.
 
-    methods: 'schedule' (host-planned gather + sorted segment-sum — wins
-    at low fill), 'dense' (densify both operands, one MXU matmul, gather
-    C's structural slots — wins once the product count crosses the MXU's
-    fixed cost, measured crossover ~1% uniform fill), 'auto' (cost model
+    methods: 'schedule' (host-planned gather + windowed sorted
+    segment-sum — r4 moved its rate to ~430M products/s, so it now beats
+    dense past 1% uniform fill at 4096²), 'dense' (densify both
+    operands, one MXU matmul, gather C's structural slots — wins only at
+    high fill / tiny operands), 'auto' (cost model
     picks; the SpMM-router philosophy applied to SpGEMM). All methods are
     differentiable in both operands' values and produce the identical
     structural pattern. Pass ``plan`` (forces 'schedule') when calling
