@@ -423,8 +423,8 @@ def _resident_batched_kernel(
     vals_ref,  # (nbr, L, bm, bk) VMEM — WHOLE packed vals, resident
     b_hbm,  # (batch, kp, np) in ANY/HBM
     o_ref,  # (1, bm, bn) VMEM block
-    bcache,  # (kp, bn) VMEM scratch — resident B panel for this (g, j)
-    sem,  # DMA semaphore
+    bcache,  # (2, kp, bn) VMEM scratch — double-buffered B panels
+    sem,  # (2,) DMA semaphores
     *,
     ell_width: int,
     bn: int,
@@ -437,27 +437,48 @@ def _resident_batched_kernel(
     # (1.57/1.34 ms vs 1.28/0.97 fp32/bf16 on the bench batch-32 row):
     # the per-row-block grid lets Mosaic pipeline out-block write-backs
     # against the next cell's compute, which the in-kernel loop serialized.
+    # Panels are DOUBLE-BUFFERED across (g, j) cells: cell c+1's panel
+    # copy is issued at cell c's entry, so the whole-panel DMA (≈5 µs per
+    # 4 MB slab, batch·n-tiles of them) overlaps cell c's compute instead
+    # of stalling every cell entry on copy.wait().
     g = pl.program_id(0)
     j = pl.program_id(1)
     i = pl.program_id(2)
-    kp = bcache.shape[0]
+    nj = pl.num_programs(1)
+    ncell = pl.num_programs(0) * nj
+    kp = bcache.shape[1]
     nvalid = nslots_ref[i]
+    cell = g * nj + j
+    slot = jax.lax.rem(cell, 2)
 
-    # land this batch element's n-panel before its first row-block (i is
-    # the innermost grid dim, so i==0 opens every (g, j) panel)
+    def start(c):
+        pltpu.make_async_copy(
+            b_hbm.at[c // nj, pl.ds(0, kp), pl.ds(jax.lax.rem(c, nj) * bn, bn)],
+            bcache.at[jax.lax.rem(c, 2)],
+            sem.at[jax.lax.rem(c, 2)],
+        ).start()
+
     @pl.when(i == 0)
     def _():
-        copy = pltpu.make_async_copy(
-            b_hbm.at[g, pl.ds(0, kp), pl.ds(j * bn, bn)], bcache, sem
-        )
-        copy.start()
-        copy.wait()
+        @pl.when(cell == 0)
+        def _():
+            start(0)  # prologue: nothing overlaps the first panel
+
+        @pl.when(cell + 1 < ncell)
+        def _():
+            start(cell + 1)  # prefetch into the other slot
+
+        pltpu.make_async_copy(  # shape-only descriptor for the wait
+            b_hbm.at[0, pl.ds(0, kp), pl.ds(0, bn)],
+            bcache.at[slot],
+            sem.at[slot],
+        ).wait()
 
     def consume(l, acc):
         col = cols_ref[i * ell_width + l]
         bk = vals_ref.shape[3]
         return acc + mxu.dot(
-            vals_ref[i, l], bcache[pl.ds(col * bk, bk), :], precision
+            vals_ref[i, l], bcache[slot, pl.ds(col * bk, bk), :], precision
         )
 
     def bodyU(t, acc):
@@ -472,12 +493,13 @@ def _resident_batched_kernel(
 
 
 def resident_batched_vmem_bytes(plan: Plan, b_itemsize: int, bn: int) -> int:
-    """VMEM footprint of the batched resident executor: panel + the
-    WHOLE resident vals array + the double-buffered full-row out block."""
+    """VMEM footprint of the batched resident executor: two panel
+    buffers + the WHOLE resident vals array + the double-buffered out
+    block."""
     bm, bk = plan.blocksize
     kp = plan.num_col_blocks * bk
     return (
-        kp * bn * b_itemsize
+        2 * kp * bn * b_itemsize
         + plan.num_slots * bm * bk * 4
         + 2 * bm * bn * 4
     )
@@ -570,8 +592,8 @@ def _resident_batched_jit(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((kp, bn), b.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, kp, bn), b.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
