@@ -415,6 +415,62 @@ def test_resident_matches_tiled_multi_n_tile(rng):
     np.testing.assert_array_equal(o_t, o_r)
 
 
+def test_batched_resident_multi_tile_matches_folded(rng):
+    """Batch-grid resident executor (r5): several batch elements AND
+    several n-tiles per element exercises the double-buffered panel ring
+    (cell c+1's panel prefetched at cell c); must equal the folded 2-D
+    executor bitwise (same slot order, same dots) and the reference."""
+    from tpusparse.kernels.tiled_spmm import resident_spmm_batched_pallas
+
+    a = random_csr(13, (64, 128), 0.2)
+    b3 = jnp.asarray(rng.random((3, 128, 96), dtype=np.float32))
+    plan = build_plan(a, blocksize=(8, 16))
+    bv = plan.pack_values(a.data)
+    out = np.asarray(
+        resident_spmm_batched_pallas(plan, bv, b3, block_n=32)
+    )
+    for g in range(3):
+        o2 = np.asarray(
+            resident_spmm_pallas_ref(plan, bv, b3[g], block_n=32)
+        )
+        np.testing.assert_array_equal(out[g], o2)
+
+
+def resident_spmm_pallas_ref(plan, bv, b, **kw):
+    from tpusparse.kernels.tiled_spmm import resident_spmm_pallas
+
+    return resident_spmm_pallas(plan, bv, b, **kw)
+
+
+def test_batched_resident_grad_matches_folded(rng):
+    """custom_vjp of the batched path (dA via column-folded SDDMM, dB
+    via the transpose plan) vs numeric dense grads."""
+    import tpusparse as ts
+    from tpusparse.ops import tiled_spmm
+
+    # n=256 so _batched_resident_ok's width gate admits the batched path
+    a = random_csr(14, (64, 64), 0.25)
+    b3 = jnp.asarray(rng.random((2, 64, 256), dtype=np.float32))
+    ad = np.asarray(a.to_dense(), np.float64)
+
+    def loss(data, bb):
+        aa = ts.CSR(data=data, indices=a.indices, indptr=a.indptr,
+                    shape=a.shape)
+        return jnp.sum(tiled_spmm(aa, bb) ** 2)
+
+    dA, dB = jax.grad(loss, argnums=(0, 1))(a.data, b3)
+    y0 = np.einsum("ij,bjk->bik", ad, np.asarray(b3, np.float64))
+    gA = (2.0 * np.einsum("bik,bjk->bij", y0, np.asarray(b3, np.float64))
+          ).sum(0)
+    rows = np.repeat(np.arange(64), np.diff(np.asarray(a.indptr)))
+    dA_ref = gA[rows, np.asarray(a.indices)]
+    np.testing.assert_allclose(np.asarray(dA, np.float64), dA_ref,
+                               rtol=1e-4, atol=1e-4)
+    dB_ref = 2.0 * np.einsum("ji,bjk->bik", ad, y0)
+    np.testing.assert_allclose(np.asarray(dB, np.float64), dB_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_resident_vmem_overflow_raises(rng):
     from tpusparse.kernels.tiled_spmm import resident_spmm_pallas
     from tpusparse.utils.config import set_config
