@@ -35,10 +35,12 @@ def test_prefill_tracks_float_model(small):
     lg_q, cache = qm.prefill(ids[:, :4])
     lg_f = m.apply(params, ids[:, :4])
     assert _rel(lg_q, lg_f) < 5e-2  # serving-tier class
-    # cache buffers are int8 with per-(b, h) scales
+    # cache buffers are int8 in the FLAT (b, L, h·d) layout (r5: d-minor
+    # int8 buffers relayout on every decode append — serving.py _flat)
+    # with per-(b, h) scales
     kq, ks, vq, vs = cache[0]
     assert kq.dtype == jnp.int8 and vq.dtype == jnp.int8
-    assert kq.shape == (2, 4, 32, 16) and ks.shape == (2, 4)
+    assert kq.shape == (2, 32, 4 * 16) and ks.shape == (2, 4)
 
 
 def test_decode_tracks_full_forward(small):

@@ -23,10 +23,14 @@ Design notes (TPU/XLA):
     pass otherwise — at batch 1 the MXU is idle either way and the win
     is pure weight traffic, so the int8 weights are streamed into a
     bf16 dot via an XLA convert fused into the dot operand.
-  * KV cache: int8 buffers + per-(layer, batch, head) scales fixed at
-    prefill time; decode-appended tokens are quantized into the SAME
-    scale (clipped) so no cache-wide rescan happens per token. The
-    attention dot streams the int8 cache and fuses the convert.
+  * KV cache: int8 buffers in the FLAT (b, L, h·d) layout (minor dim a
+    whole number of 128-lane tiles — a d-minor int8 buffer relayouts
+    wholesale on every decode append, measured 285 µs per tiny
+    dynamic_update_slice on v5e; flat appends measure ~0) + per-(layer,
+    batch, head) scales fixed at prefill time; decode-appended tokens
+    are quantized into the SAME scale (clipped) so no cache-wide rescan
+    happens per token. The attention dot streams the int8 cache and
+    fuses the convert.
 """
 
 from __future__ import annotations
@@ -164,6 +168,28 @@ class QuantizedGPT:
             self.tok_emb[ids] + self.pos_emb[pos][None, :, :]
         ).astype(jnp.float32)
 
+    # Cache layout is BATCH-ADAPTIVE (measured on the 368M config, v5e):
+    # at batch 1 the per-step appends dominate — the head-major
+    # (b, h, L, d) buffer has a 64-wide int8 minor dim (half a lane
+    # tile) and relayouts wholesale on every tiny dynamic_update_slice
+    # (int8 step 0.94 ms; the FLAT (b, L, h·d) layout's contiguous
+    # 1024-wide appends take it to 0.74). At batch ≥ 8 the attention
+    # READ dominates and the flat buffer's head-split view costs a
+    # per-step relayout of the whole 200 MB cache instead (1.72 → 2.14
+    # ms) — so small batches store flat, large ones head-major.
+    _FLAT_BATCH_MAX = 2
+
+    def _flat(self, kq):
+        """(b, h, s, d) int8 -> (b, s, h·d) flat cache layout."""
+        b, h, s, d = kq.shape
+        return kq.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    def _heads(self, kqf):
+        """(b, L, h·d) cache view -> (b, L, h, d) for the attention dots
+        (read-side reshape; the buffer itself stays flat)."""
+        b, L, _ = kqf.shape
+        return kqf.reshape(b, L, self.num_heads, self.head_dim)
+
     def prefill(self, ids):
         """Prompt pass: float-math attention (prompt-length cost is a
         one-off), cache written int8 with per-(b, h) scales that decode
@@ -174,15 +200,23 @@ class QuantizedGPT:
         L = self.max_position
         x = self._embed(ids)
         cmask = jnp.tril(jnp.ones((s, s), bool))
+        flat = b <= self._FLAT_BATCH_MAX
         cache = []
         for blk in self.blocks:
             h = _ln(x, blk.ln1)
             q, k, v = self._qkv(blk, h)
             kq, ks, vq, vs = quantize_kv(k, v)
-            pad = ((0, 0), (0, 0), (0, L - s), (0, 0))
-            cache.append(
-                (jnp.pad(kq, pad), ks, jnp.pad(vq, pad), vs)
-            )
+            if flat:
+                pad = ((0, 0), (0, L - s), (0, 0))
+                cache.append(
+                    (jnp.pad(self._flat(kq), pad), ks,
+                     jnp.pad(self._flat(vq), pad), vs)
+                )
+            else:
+                pad = ((0, 0), (0, 0), (0, L - s), (0, 0))
+                cache.append(
+                    (jnp.pad(kq, pad), ks, jnp.pad(vq, pad), vs)
+                )
             sc = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
             ) / (self.head_dim ** 0.5)
@@ -206,37 +240,59 @@ class QuantizedGPT:
         for blk, (kq, ks, vq, vs) in zip(self.blocks, cache):
             h = _ln(x, blk.ln1)
             q, k, v = self._qkv(blk, h)
+            flat = kq.ndim == 3
             # quantize the new token into the prefill scales (clipped:
             # the serving contract accepts the prefill range as the
-            # cache's dynamic range)
+            # cache's dynamic range); flat caches append ONE contiguous
+            # 1024-wide row — see the layout note above
             kq1 = jnp.clip(
                 jnp.round(k / ks[..., None, None]), -127, 127
             ).astype(jnp.int8)
             vq1 = jnp.clip(
                 jnp.round(v / vs[..., None, None]), -127, 127
             ).astype(jnp.int8)
-            kq = jax.lax.dynamic_update_slice(kq, kq1, (0, 0, pos, 0))
-            vq = jax.lax.dynamic_update_slice(vq, vq1, (0, 0, pos, 0))
+            if flat:
+                kq = jax.lax.dynamic_update_slice(
+                    kq, self._flat(kq1), (0, pos, 0)
+                )
+                vq = jax.lax.dynamic_update_slice(
+                    vq, self._flat(vq1), (0, pos, 0)
+                )
+                kh, vh = self._heads(kq), self._heads(vq)
+                k_spec, v_spec = "bkhd", "bkhd"
+            else:
+                kq = jax.lax.dynamic_update_slice(
+                    kq, kq1, (0, 0, pos, 0)
+                )
+                vq = jax.lax.dynamic_update_slice(
+                    vq, vq1, (0, 0, pos, 0)
+                )
+                kh, vh = kq, vq
+                k_spec, v_spec = "bhkd", "bhkd"
             new_cache.append((kq, ks, vq, vs))
             # attention over the int8 cache: the convert fuses into the
-            # dot operand, so the HBM stream is the int8 bytes
+            # dot operand, so the HBM stream is the int8 bytes; the BIG
+            # cache operand stays in its stored order, only the tiny q/p
+            # tensors adapt
+            q2 = q.transpose(0, 2, 1, 3)  # (b, 1, h, d), tiny
             sc = jnp.einsum(
-                "bhqd,bhkd->bhqk",
-                q.astype(jnp.bfloat16),
-                kq.astype(jnp.bfloat16),
+                f"bqhd,{k_spec}->bhqk",
+                q2.astype(jnp.bfloat16),
+                kh.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
             ) * (ks[:, :, None, None] / (self.head_dim ** 0.5))
             valid = jnp.arange(L)[None, None, None, :] <= pos
             p = jax.nn.softmax(jnp.where(valid, sc, -1e9), axis=-1)
             ctx = jnp.einsum(
-                "bhqk,bhkd->bhqd",
+                f"bhqk,{v_spec}->bqhd",
                 p.astype(jnp.bfloat16),
-                vq.astype(jnp.bfloat16),
+                vh.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
-            ) * vs[:, :, None, None]
-            x = x + blk.o(self._merge(ctx))
+            ) * vs[:, None, :, None]
+            b_, q_, h_, d_ = ctx.shape
+            x = x + blk.o(ctx.reshape(b_, q_, h_ * d_))
             x = x + blk.fc2(jax.nn.gelu(blk.fc1(_ln(x, blk.ln2))))
         logits = self.lm_head(_ln(x, self.final_ln))[:, 0, :]
         return logits, tuple(new_cache)

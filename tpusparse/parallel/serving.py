@@ -133,14 +133,26 @@ def make_tp_decode_step(
     mesh: Mesh,
     data_axis: str = "data",
     model_axis: str = "model",
+    flat_cache: bool = True,
 ):
     """Jitted (tok, cache, pos) -> (logits, cache) with batch over
     `data_axis`, KV cache head-sharded over `model_axis`, and the
-    Megatron all-reduces placed by XLA at the row-parallel matmuls."""
+    Megatron all-reduces placed by XLA at the row-parallel matmuls.
+
+    `flat_cache` must match the layout `prefill` chose for the batch
+    (flat (b, L, h·d) for batch ≤ QuantizedGPT._FLAT_BATCH_MAX, else
+    head-major (b, h, L, d) — models/serving.py layout note)."""
     tok_s = NamedSharding(mesh, P(data_axis))
-    # cache (kq, ks, vq, vs) per layer: buffers (b, h, L, d) shard batch
-    # x heads; scales (b, h) likewise
-    buf_s = NamedSharding(mesh, P(data_axis, model_axis, None, None))
+    # cache (kq, ks, vq, vs) per layer. Flat buffers (b, L, h·d) shard
+    # batch x the head-major flat axis (heads are outer in h·d, so the
+    # model split is an exact per-head partition); head-major buffers
+    # (b, h, L, d) shard batch x heads. Scales (b, h) likewise.
+    buf_s = NamedSharding(
+        mesh,
+        P(data_axis, None, model_axis)
+        if flat_cache
+        else P(data_axis, model_axis, None, None),
+    )
     sc_s = NamedSharding(mesh, P(data_axis, model_axis))
     layer_s = (buf_s, sc_s, buf_s, sc_s)
     cache_s = tuple(layer_s for _ in qm_sharded.blocks)
