@@ -329,3 +329,17 @@ def test_routed_csr_level_threads_as_jit_argument():
     x = np.asarray(solve(m, b))
     r = np.asarray(b) - spd.astype(np.float64) @ np.asarray(x, np.float64)
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
+def test_bf16_level_planes_converge(poisson):
+    """level_dtype='bfloat16' (halved hierarchy memory; measured
+    time-neutral on-chip — the wide-DIA kernel is VPU-bound) must keep
+    AMG-CG convergence: the lost digits live inside M only."""
+    a, _ = poisson
+    m16 = smoothed_aggregation_setup(
+        a, coarse_size=40, level_dtype="bfloat16"
+    )
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(a.shape[0]).astype(np.float32))
+    x, _ = cg(a, b, M=m16, tol=1e-8, maxiter=50)
+    assert _resid(a, x, b) < 1e-4

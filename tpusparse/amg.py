@@ -698,6 +698,7 @@ def smoothed_aggregation_setup(
     method: str = "auto",
     smoother: str = "jacobi",
     cheb_alpha: float = 8.0,
+    level_dtype: str | None = None,
 ) -> AMGPreconditioner:
     """Build the AMG hierarchy for (near-)SPD A. Host-side setup over
     concrete values (like `ilu0`/plan building); the result applies
@@ -716,12 +717,29 @@ def smoothed_aggregation_setup(
     worse where fixed θ was fine: on laplace2d_1024 it admitted weak
     connections into 2-D aggregates and scattered each level over
     hundreds of 1-entry diagonals (V-cycle 21 ms vs ~7 with the fixed-θ
-    hierarchy, measured r3) — hence decay only when needed."""
+    hierarchy, measured r3) — hence decay only when needed.
+
+    level_dtype='bfloat16' stores the DIA PLANES (level operators and
+    the factored prolongators' D⁻¹A planes) in bf16 — a MEMORY option,
+    not a speed one: laplace3d_64's hierarchy carries three ~217 MB L1
+    planes, and bf16 halves that footprint, but the wide-DIA kernel is
+    VPU-bound (rolls/selects), so AMG-CG time measured NEUTRAL (6.65 vs
+    6.61 ms/iter interleaved on-chip, resid 5.13e-5 both ways — r5).
+    M is a preconditioner, so the ~3 lost decimal digits live entirely
+    inside M; the outer CG/solver still runs the exact fp32 operator.
+    Indices, dinv, P/R values, and CSR remainders stay fp32."""
     a = _as_csr(a)
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"amg needs square A, got {a.shape}")
     if smoother not in ("jacobi", "chebyshev"):
         raise ValueError(f"unknown smoother {smoother!r} (jacobi/chebyshev)")
+    if level_dtype not in (None, "bf16", "bfloat16"):
+        raise ValueError(f"unknown level_dtype {level_dtype!r}")
+    plane_cast = (
+        (lambda v: jnp.asarray(v).astype(jnp.bfloat16))
+        if level_dtype
+        else (lambda v: jnp.asarray(v))
+    )
     dtype = np.asarray(a.data).dtype
     levels: List[_Level] = []
     # host triple of the current level's operator, values in fp64
@@ -774,11 +792,11 @@ def smoothed_aggregation_setup(
                 from tpusparse.kernels.dia import pack_dia_operator
 
                 dia_part = pack_dia_operator(
-                    jnp.asarray(dia_host), dia_offs, (n, n)
+                    plane_cast(dia_host), dia_offs, (n, n)
                 )
             else:
                 dia_part = _DIA(
-                    data=jnp.asarray(dia_host), offsets=dia_offs,
+                    data=plane_cast(dia_host), offsets=dia_offs,
                     shape=(n, n),
                 )
             if rem_host is None:
@@ -852,18 +870,18 @@ def smoothed_aggregation_setup(
                 from tpusparse.kernels.dia import pack_dia_operator
 
                 dinv_a = pack_dia_operator(
-                    jnp.asarray(dinva_host), offs_l, (n, n)
+                    plane_cast(dinva_host), offs_l, (n, n)
                 )
                 dinv_a_t = pack_dia_operator(
-                    jnp.asarray(t_host), np.sort(-offs_l[::-1]), (n, n)
+                    plane_cast(t_host), np.sort(-offs_l[::-1]), (n, n)
                 )
             else:
                 dinv_a = _DIA2(
-                    data=jnp.asarray(dinva_host), offsets=offs_l,
+                    data=plane_cast(dinva_host), offsets=offs_l,
                     shape=(n, n),
                 )
                 dinv_a_t = _DIA2(
-                    data=jnp.asarray(t_host),
+                    data=plane_cast(t_host),
                     offsets=np.sort(-offs_l[::-1]),
                     shape=(n, n),
                 )
