@@ -1069,7 +1069,13 @@ def _route_spmm(a: CSR, b: jnp.ndarray, blocksize: Optional[Tuple[int, int]]) ->
         # batched B folds into the column axis before execution — cost
         # every candidate at the width it will actually run at
         n = int(b.shape[0]) * n
-    key = (_fingerprint(a.shape, (bm, bk), indptr, indices), n)
+    # key includes the per-element width: the fold-copy term below
+    # depends on the (batch, n) SPLIT, not just the folded product
+    key = (
+        _fingerprint(a.shape, (bm, bk), indptr, indices),
+        n,
+        int(b.shape[-1]) if b.ndim == 3 else 0,
+    )
     hit = _ROUTE_CACHE.get(key)
     if hit is not None:
         return hit
