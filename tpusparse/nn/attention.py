@@ -473,6 +473,12 @@ class BigBirdAttention(nn.Module):
     # bigger MXU dots beat the extra density) and equal to pure-banded
     # LocalAttention while adding global+random connectivity. The BigBird
     # paper's block 64 is a GPU-warp-sized choice; on TPU use >= 256.
+    # The tile-launch bound keeps growing with seq: at seq 32768 block
+    # 512 at COMPARABLE density runs 2.4x faster than 256 (17.2 vs
+    # 41.4 ms, w1r1 vs w3r2 — ~6% coverage both), block 1024 w1r1 12.5 ms
+    # at 12% — past ~16k sequences pick block >= 512 (the default stays
+    # 256 because block size is part of the PATTERN semantics: window
+    # and random coverage are measured in blocks of `block` tokens).
     block: int = 256
     window_blocks: int = 3
     num_global_blocks: int = 1
