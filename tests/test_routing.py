@@ -346,3 +346,20 @@ def test_spmm_auto_works_under_jit(rng):
     np.testing.assert_allclose(
         out, _dense_ref(a, b), rtol=1e-4, atol=5e-5
     )
+
+
+def test_route_cache_keys_on_batch_split():
+    """Two 3-D b's with the SAME folded width but different
+    (batch, n) splits must route independently: the fold-copy term
+    (charged only when the batch-grid executor can't run) depends on
+    the split, not the product (r5)."""
+    from tpusparse.ops import _ROUTE_CACHE, _route_spmm
+
+    a = ts.random_csr(31, (512, 512), 0.10)
+    m1 = _route_spmm(a, jnp.zeros((4096, 512, 64)), None)
+    m2 = _route_spmm(a, jnp.zeros((512, 512, 512)), None)
+    # same folded width (262144); the wide-per-element form is
+    # batched-resident-eligible, the narrow one folds
+    keys = [k for k in _ROUTE_CACHE if k[1] == 4096 * 64]
+    assert len(keys) >= 2, keys
+    assert m1 == "dense"  # fold copies priced in -> dense wins
