@@ -55,4 +55,22 @@ y3 = multiply_many(packed, B)
 err = np.abs(np.asarray(y3, np.float64) - ref).max() / np.abs(ref).max()
 assert err < 1e-4, err
 print(f"  explicit plan executor under jit: rel err {err:.2e}")
+
+# --- batched 3-D operands: batch rides the executor grid (r5) ----------------
+# A shared sparse pattern applied to a BATCH of dense operands. When the
+# B panel plus the packed values fit VMEM and the per-element width is
+# >=256 lanes, ops dispatches the batch-grid resident executor (no
+# column-fold transposes, values streamed once per launch); otherwise
+# the batch folds into the column axis as one launch. Both paths are
+# differentiable and the router prices them per shape.
+B3 = jnp.asarray(rng.normal(size=(4, 1024, 256)).astype(np.float32))
+y4 = ts.spmm(A, B3, method="tiled")
+ref3 = np.einsum(
+    "ij,bjk->bik", a_sp.toarray().astype(np.float64),
+    np.asarray(B3, np.float64),
+)
+err = np.abs(np.asarray(y4, np.float64) - ref3).max() / np.abs(ref3).max()
+assert err < 1e-4, err
+print(f"  batched 3-D tiled spmm: rel err {err:.2e}")
+
 print("02_plans_and_executors: OK")
