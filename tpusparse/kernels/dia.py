@@ -55,36 +55,54 @@ _MT = 16384   # output tile (mt/128 = 128 chunk rows per seg)
 
 
 def _dia_spmv_kernel(starts_ref, data_ref, xp_ref, o_ref, acc_scr,
-                     *, nd: int, mt: int):
+                     sh_scr, last_r, *, nd: int, mt: int):
+    # Diagonals arrive SORTED BY LANE REMAINDER r = start % 128
+    # (_pack_dia): on first use of each r this kernel builds the shifted
+    # whole-x copy sh[q, l] = xp[128q + l + r] once (two lane rolls + a
+    # sublane roll + one select over the resident x), and every diagonal
+    # then consumes a bare dynamic sublane slice of it. The former
+    # per-diagonal 2-rolls+select were the kernel's VPU bound (r4
+    # stripped audit). sh persists across grid cells; last_r tracks the
+    # group (t·mt is a multiple of 128, so r is t-independent).
     t = pl.program_id(0)
     g = pl.program_id(1)
     ng = pl.num_programs(1)
     rows = mt // 128
+    nrows = sh_scr.shape[0]
+
+    @pl.when((t == 0) & (g == 0))
+    def _():
+        last_r[0] = -1
 
     @pl.when(g == 0)
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 1)
 
     for u in range(_DU):
         idx = g * _DU + u
 
         @pl.when(idx < nd)
         def _(u=u, idx=idx):
-            # out positions [t·mt, t·mt+mt) read xp[w0 + i] with
-            # w0 = 128·q + r: chunk rows q..q+rows ride two dynamic
-            # sublane slices, the sub-128 remainder two 1-tile rolls +
-            # a lane select (see module docstring)
             w0 = starts_ref[idx] + t * mt
             q = w0 // 128
             r = w0 - q * 128
-            wa = xp_ref[pl.ds(q, rows), :]
-            wb = xp_ref[pl.ds(q + 1, rows), :]
-            ra = pltpu.roll(wa, -r, 1)
-            rb = pltpu.roll(wb, -r, 1)
-            seg = jnp.where(lane < 128 - r, ra, rb)
-            acc_scr[:] = acc_scr[:] + data_ref[u] * seg
+
+            @pl.when(r != last_r[0])
+            def _():
+                xa = xp_ref[:]
+                # row q <- row q+1 (cyclic backward-by-1 == forward by
+                # nrows-1; pltpu.roll rejects negative static shifts)
+                xdown = pltpu.roll(xa, nrows - 1, 0)
+                ra = pltpu.roll(xa, -r, 1)
+                rb = pltpu.roll(xdown, -r, 1)
+                # the sublane wrap writes garbage into sh's LAST row
+                # only; _pack_dia's +256 slack keeps every slice below it
+                sh_scr[:] = jnp.where(lane_full < 128 - r, ra, rb)
+                last_r[0] = r
+
+            acc_scr[:] = acc_scr[:] + data_ref[u] * sh_scr[pl.ds(q, rows), :]
 
     @pl.when(g == ng - 1)
     def _():
@@ -116,6 +134,8 @@ def _dia_spmv_jit(data3, starts, x, *, mq, mt, nd, span_lo, wp):
             out_specs=pl.BlockSpec((rows, 128), lambda t, g, starts: (t, 0)),
             scratch_shapes=[
                 pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((wp // 128, 128), x.dtype),  # shifted x
+                pltpu.SMEM((1,), jnp.int32),  # last built remainder
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((mq // 128, 128), jnp.float32),
@@ -140,7 +160,14 @@ def _pack_dia(data, offsets: np.ndarray, k: int):
     caching of a pure function of the array is sound; tracers skip it).
     """
     nd, m = data.shape
-    order = np.argsort(offsets)
+    lo0 = int(max(0, -offsets.min(initial=0)))
+    # sort by LANE REMAINDER (then offset): diagonals sharing
+    # (offset + lo) % 128 read the same lane-rotation of x, so the
+    # kernel builds ONE shifted copy of the whole x per remainder group
+    # and every diagonal in the group is a bare sublane slice + FMA —
+    # the per-diagonal 2-rolls+select were the kernel's measured VPU
+    # bound (r4 stripped audit: 0.37 -> 0.71 ms of 1.67)
+    order = np.lexsort((offsets, (offsets + lo0) % 128))
     if not np.array_equal(order, np.arange(nd)):
         offsets = offsets[order]
         data = jnp.asarray(data)[np.asarray(order)]
@@ -329,13 +356,17 @@ class PackedDIA:
             )
         # Multivector fallback: unpack in-trace (one copy) and run the
         # chunked-scan SpMM — wide-DIA multivector work is off the
-        # kernel's (VMEM-resident x) design point anyway.
+        # kernel's (VMEM-resident x) design point anyway. The plane rows
+        # ride in LANE-REMAINDER order (the kernel's shifted-x grouping);
+        # types.DIA wants offsets sorted, so re-sort here.
         from tpusparse import ops as _ops
         from tpusparse.types import DIA as _DIA
 
+        offs = self.offsets
+        order = np.argsort(offs)
         return _ops.dia_spmm(
-            _DIA(data=self.unpack_data(), offsets=self.offsets,
-                 shape=self.shape),
+            _DIA(data=self.unpack_data()[jnp.asarray(order)],
+                 offsets=offs[order], shape=self.shape),
             x,
         )
 
@@ -393,10 +424,12 @@ def pack_dia_operator(data, offsets, shape) -> PackedDIA:
     this is the point). `shape` is the operator's (m, k)."""
     offsets = np.asarray(offsets, np.int64)
     k = int(shape[1])
-    data3, _starts, meta = _pack_dia(jnp.asarray(data), offsets, k)
+    data3, starts, meta = _pack_dia(jnp.asarray(data), offsets, k)
     return PackedDIA(
         data3,
-        np.sort(offsets),  # _pack_dia sorts the plane to match
+        # offsets in the PLANE's row order (_pack_dia permutes by lane
+        # remainder) — recovered from the kernel starts, never re-sorted
+        np.asarray(starts, np.int64) - meta["span_lo"],
         shape,
         (meta["mq"], meta["mt"], meta["nd"], meta["span_lo"], meta["wp"]),
     )
