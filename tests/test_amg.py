@@ -294,16 +294,20 @@ def test_theta_decay_disable_matches_legacy(poisson):
     assert _resid(a, x, b) < 1e-4
 
 
-def test_routed_csr_level_threads_as_jit_argument():
-    """A hierarchy that provably contains a CSR-routed level (_RoutedCSR)
+def test_routed_csr_level_threads_as_jit_argument(monkeypatch):
+    """A hierarchy that provably contains CSR-routed levels (_RoutedCSR)
     must flatten as a pytree and solve with the preconditioner passed as
-    a JIT ARGUMENT — the literal-free form realmatrix_benchmark times.
-    Unstructured SPD patterns route every level to CSR (r4 advisor repro:
-    unregistered _RoutedCSR raised 'not a valid JAX type' here), and the
-    CSR levels' P/R must ride their setup-resolved executors (p_op/r_op),
-    not the in-trace gather floor."""
+    a JIT ARGUMENT — the literal-free form realmatrix_benchmark times
+    (r4 advisor repro: unregistered _RoutedCSR raised 'not a valid JAX
+    type' here), and the CSR levels' P/R must ride their setup-resolved
+    executors (p_op/r_op), not the in-trace gather floor. _route_level
+    is pinned to all-CSR so the scenario survives cost-constant refits
+    (the r5 DIA-kernel refit made the old unstructured fixture route
+    every level to DIA — correctly)."""
+    import tpusparse.amg as amg_mod
     from tpusparse.amg import _RoutedCSR, smoothed_aggregation_setup
 
+    monkeypatch.setattr(amg_mod, "_route_level", lambda *a, **k: None)
     rng = np.random.default_rng(3)
     n = 1500
     g = ssp.random(n, n, density=0.004, random_state=7, format="csr")

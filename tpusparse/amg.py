@@ -579,8 +579,11 @@ _register(
 
 _SCAN_STEP_S = 20e-6  # measured fixed cost per dia_spmm scan step (v5e r3)
 _SCAN_U = 32          # must match ops.dia_spmm's chunk width
-_DIA_KERNEL_BW = 150e9  # r4 wide-DIA Pallas kernel effective stream rate
-#                         (26.7 ps/padded element: 1909×32768 in 1.67 ms)
+_DIA_KERNEL_BW = 500e9  # r5 wide-DIA Pallas kernel effective stream rate
+#                         (grouped shifted-x rewrite: 1909×32768 in
+#                         0.439 ms = ~570 GB/s; 500e9 keeps a margin).
+#                         Raising this keeps MORE diagonals per level
+#                         (threshold ~15 entries/diagonal at 32k rows).
 
 
 def _route_level(cur_ip, cur_ix, cur_d, n: int, dtype):
